@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.functions.Cleanse._
+import graft.sources.Tables
+
+/** The core relational operator inventory (SURVEY.md §2.1–§2.8) as named,
+  * oracle-checked queries over the driver testdata. Each query's Scaladoc
+  * cites the reference operator(s) it re-expresses.
+  */
+object CoreQueries {
+
+  /** A1–A6 + F1 — grouped hash aggregation with exact decimal money sums
+    * (pay_agg shape; transform-complex-full.py:67-82). Partial+final
+    * HashAggregate: the shuffle carries 6 groups, not 600k rows. */
+  val q01PricingSummary: Q = Q(
+    "q01_pricing_summary",
+    (s, dir) => Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).cast("double").as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("double").as("sum_disc_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+          .cast("double").as("sum_charge"),
+        avg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order")),
+    Some("""SELECT l_returnflag, l_linestatus,
+      |  SUM(l_quantity) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      |  AVG(l_quantity) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin))
+
+  /** P1/P6 predicates + computed aggregate (TPC-H Q6 shape). The range +
+    * equality predicates push into the parquet scan (PushedFilters). */
+  val q02SelectiveRevenue: Q = Q(
+    "q02_selective_revenue",
+    (s, dir) => Tables(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("2024-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("2024-07-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.06) &&
+        col("l_quantity") < 24)
+      .agg(
+        moneySum(col("l_extendedprice") * col("l_discount")).cast("double").as("promo_revenue"),
+        count(lit(1)).as("n_rows")),
+    Some("""SELECT
+      |  CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '2024-01-01' AND l_shipdate < TIMESTAMP '2024-07-01'
+      |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin))
+
+  /** J2 inner equi-join + grouped agg + distinct aggregate
+    * (transform-complex-full.py:197-199 join shape). */
+  val q03JoinAgg: Q = Q(
+    "q03_join_agg",
+    (s, dir) => Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("order_count"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("double").as("revenue")),
+    Some("""SELECT o_orderpriority,
+      |  COUNT(DISTINCT o_orderkey) AS order_count,
+      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin))
+
+  /** J3 left join against a grouped aggregate + A2 COALESCE(SUM(NULLIF))
+    * (transform-complex-full.py:200-201, :71). */
+  val q04OrderEnrichment: Q = Q(
+    "q04_order_enrichment",
+    (s, dir) => Tables(s, dir, "orders")
+      .join(Aggregates.perOrder(Tables(s, dir, "lineitem")),
+        col("o_orderkey") === col("l_orderkey"), "left")
+      .select(
+        col("o_orderkey"), col("o_orderstatus"),
+        coalesce(col("order_item_count"), lit(0L)).as("item_count"),
+        coalesce(col("order_qty"), lit(0.0)).as("total_qty"),
+        coalesce(col("order_revenue_dec").cast("double"), lit(0.0)).as("order_revenue")),
+    Some("""SELECT o_orderkey, o_orderstatus,
+      |  COALESCE(order_item_count, 0) AS item_count,
+      |  COALESCE(order_qty, 0.0) AS total_qty,
+      |  COALESCE(CAST(order_revenue_dec AS DOUBLE), 0.0) AS order_revenue
+      |FROM orders LEFT JOIN (
+      |  SELECT l_orderkey, COUNT(*) AS order_item_count,
+      |    COALESCE(SUM(NULLIF(l_quantity, 0)), 0) AS order_qty,
+      |    SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS order_revenue_dec
+      |  FROM lineitem GROUP BY l_orderkey) agg ON o_orderkey = l_orderkey""".stripMargin))
+
+  /** J6/O1 — decorrelated argmax ("primary payment type",
+    * transform-complex-full.py:72-79) with a pinned tiebreak. */
+  val q05PrimaryFlag: Q = Q(
+    "q05_primary_flag",
+    (s, dir) => Aggregates.primaryFlag(Tables(s, dir, "lineitem"))
+      .select(col("l_orderkey").as("orderkey"), col("primary_returnflag"),
+        col("primary_flag_revenue")),
+    Some("""SELECT l_orderkey AS orderkey, l_returnflag AS primary_returnflag,
+      |       CAST(flag_rev AS DOUBLE) AS primary_flag_revenue
+      |FROM (SELECT l_orderkey, l_returnflag, flag_rev,
+      |        ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      |                           ORDER BY flag_rev DESC, l_returnflag ASC) AS rn
+      |      FROM (SELECT l_orderkey, l_returnflag,
+      |              SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS flag_rev
+      |            FROM lineitem GROUP BY 1, 2) fr) rk
+      |WHERE rn = 1""".stripMargin))
+
+  /** U1 + A7 + P4 — unionByName → distinct → na.drop
+    * (create_dimensions.py:49-51). */
+  val q06UnionDistinct: Q = Q(
+    "q06_union_distinct",
+    (s, dir) => Dimensions.locationKeys(s, dir),
+    Some(Dimensions.locationKeysOracle))
+
+  /** Full dimension build with deterministic surrogate key + dict lookup
+    * (create_dimensions.py:49-68; SURVEY.md §1.3). */
+  val q07DimLocations: Q = Q(
+    "q07_dim_locations",
+    (s, dir) => Dimensions.dimLocations(s, dir),
+    Some(Dimensions.dimLocationsOracle))
+
+  /** Flagship master-table query (SURVEY.md §3.3). */
+  val q08Master: Q = Q(
+    "q08_master_table",
+    (s, dir) => Master(s, dir),
+    Some(Master.oracle))
+
+  /** F1–F6/F11 scalar-function surface on a single table. */
+  val q09ScalarNorm: Q = Q(
+    "q09_scalar_norm",
+    (s, dir) => Tables(s, dir, "part").select(
+      col("p_partkey"),
+      normLower(col("p_type")).as("type_norm"),
+      normUpper(col("p_brand")).as("brand_norm"),
+      coalesce(nullIfZero(col("p_size")), lit(-1)).as("size_nz"),
+      money(col("p_retailprice")).cast("double").as("price_dec"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("brand_type")),
+    Some("""SELECT p_partkey,
+      |  lower(trim(p_type)) AS type_norm,
+      |  upper(trim(p_brand)) AS brand_norm,
+      |  COALESCE(NULLIF(p_size, 0), -1) AS size_nz,
+      |  CAST(CAST(p_retailprice AS DECIMAL(18,6)) AS DOUBLE) AS price_dec,
+      |  concat_ws('|', p_brand, p_type) AS brand_type
+      |FROM part""".stripMargin))
+
+  /** O1 generalized — top-k per group via ranked window (SURVEY.md §2.6). */
+  val q10TopKPerGroup: Q = Q(
+    "q10_topk_per_group",
+    (s, dir) => Tables(s, dir, "part")
+      .withColumn("brand_rank",
+        row_number().over(Window.partitionBy(col("p_brand"))
+          .orderBy(col("p_retailprice").desc, col("p_partkey").asc)).cast("long"))
+      .filter(col("brand_rank") <= 3)
+      .select(col("p_brand"), col("p_partkey"), col("p_name"),
+        col("p_retailprice"), col("brand_rank")),
+    Some("""SELECT p_brand, p_partkey, p_name, p_retailprice, brand_rank
+      |FROM (SELECT p_brand, p_partkey, p_name, p_retailprice,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+      |               ORDER BY p_retailprice DESC, p_partkey ASC) AS BIGINT) AS brand_rank
+      |      FROM part) t
+      |WHERE brand_rank <= 3""".stripMargin))
+
+  /** Window-function surface (SURVEY.md §2.5 extension): row_number, lag,
+    * lead, running decimal sum over a pinned total order. */
+  val q11CustomerOrderSeq: Q = Q(
+    "q11_customer_order_seq",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("order_seq"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_totalprice"),
+        lead(col("o_orderdate"), 1).over(w).as("next_order_ts"),
+        sum(money(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_spend"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
+      |  LAG(o_totalprice, 1) OVER w AS prev_totalprice,
+      |  LEAD(o_orderdate, 1) OVER w AS next_order_ts,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin))
+
+  /** Global sort + limit with pinned tiebreak (SURVEY.md §2.6). Spark plans
+    * TakeOrderedAndProject — a per-partition top-k then a k-row merge, no
+    * global sort materialization. */
+  val q12TopOrders: Q = Q(
+    "q12_top_orders",
+    (s, dir) => Tables(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate")),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin))
+
+  /** Date-part rollup (the BI-layer query shape the reference's 7 indexes
+    * exist to serve — transform-complex-full.py:215-221). */
+  val q13MonthlyRollup: Q = Q(
+    "q13_monthly_rollup",
+    (s, dir) => Tables(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        moneySum(col("o_totalprice")).cast("double").as("month_revenue"))
+      .withColumn("order_year", year(col("order_month")).cast("long")),
+    Some("""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+      |  COUNT(*) AS order_count,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS month_revenue,
+      |  CAST(year(o_orderdate) AS BIGINT) AS order_year
+      |FROM orders GROUP BY 1, 4""".stripMargin))
+
+  val all: Seq[Q] = Seq(
+    q01PricingSummary, q02SelectiveRevenue, q03JoinAgg, q04OrderEnrichment,
+    q05PrimaryFlag, q06UnionDistinct, q07DimLocations, q08Master,
+    q09ScalarNorm, q10TopKPerGroup, q11CustomerOrderSeq, q12TopOrders,
+    q13MonthlyRollup)
+}

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.functions.Cleanse._
+import graft.sources.Tables
+
+/** Event-stream surface (SURVEY.md §2.9/§2.11): tumbling and session
+  * windows, stream dedup, and semi-structured JSON extraction over the
+  * driver `events` table.
+  *
+  * The reference has no streaming (SURVEY.md §2.9), so these are the
+  * extension surface. Each operator is written so the SAME code runs in
+  * batch (oracle-checkable against DuckDB) and under Structured Streaming —
+  * `window`/`session_window` group keys and dropDuplicates carry over
+  * verbatim; `streamingDemo` below wires the true readStream path with a
+  * watermark.
+  */
+object Events {
+
+  /** Tumbling 10-minute window aggregation per event_type
+    * (`window(ts, "10 minutes")` — epoch-aligned, so the oracle reproduces
+    * bucket starts via integer division on epoch micros). */
+  val q14Tumbling: Q = Q(
+    "q14_events_tumbling",
+    (s, dir) => Tables(s, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        moneySum(col("value")).cast("double").as("value_sum"),
+        countDistinct(col("user_id")).as("unique_users"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("event_count"), col("value_sum"), col("unique_users")),
+    Some("""SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS bucket_start,
+      |  event_type,
+      |  COUNT(*) AS event_count,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+      |  COUNT(DISTINCT user_id) AS unique_users
+      |FROM events GROUP BY 1, 2""".stripMargin))
+
+  /** Session windows: 30-minute inactivity gap per user
+    * (`session_window` — a new session starts when the gap from the previous
+    * event is >= 30 min; the oracle reproduces this with a lag/cumsum
+    * gaps-and-islands rewrite). */
+  val q15Sessions: Q = Q(
+    "q15_events_sessions",
+    (s, dir) => Tables(s, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        moneySum(col("value")).cast("double").as("session_value"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+        col("event_count"), col("session_value")),
+    Some("""WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+      |              >= 1800000000
+      |         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |numbered AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT MIN(ts) AS session_start, user_id,
+      |  COUNT(*) AS event_count,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+      |FROM numbered GROUP BY user_id, session_id""".stripMargin))
+
+  /** Stream-dedup shape: earliest event per (user_id, event_type) with a
+    * pinned tiebreak — the batch analog of dropDuplicates on a keyed stream.
+    * Implemented as MIN(STRUCT(...)) — single hash agg, no window sort. */
+  val q16FirstTouch: Q = Q(
+    "q16_events_first_touch",
+    (s, dir) => Tables(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(struct(col("ts"), col("event_id"), col("value"))).as("first"))
+      .select(col("user_id"), col("event_type"),
+        col("first.ts").as("first_ts"), col("first.event_id").as("first_event_id"),
+        col("first.value").as("first_value")),
+    Some("""SELECT user_id, event_type, ts AS first_ts, event_id AS first_event_id,
+      |       value AS first_value
+      |FROM (SELECT user_id, event_type, ts, event_id, value,
+      |        ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                           ORDER BY ts ASC, event_id ASC) AS rn
+      |      FROM events) t
+      |WHERE rn = 1""".stripMargin))
+
+  /** Semi-structured JSON extraction from the `props` column + rollup. */
+  val q17JsonExtract: Q = Q(
+    "q17_events_json",
+    (s, dir) => Tables(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("k_count"),
+        sum(col("k")).as("k_sum"),
+        max(col("k")).as("k_max")),
+    Some("""SELECT event_type,
+      |  COUNT(k) AS k_count, CAST(SUM(k) AS BIGINT) AS k_sum, MAX(k) AS k_max
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events) t
+      |GROUP BY event_type""".stripMargin))
+
+  val all: Seq[Q] = Seq(q14Tumbling, q15Sessions, q16FirstTouch, q17JsonExtract)
+
+  /** True Structured Streaming path: parquet-directory source → watermarked
+    * tumbling aggregation. Exercised by the streaming spec (file source +
+    * memory sink); semantics match q14 by construction. At scale this is the
+    * same plan with state-store-backed incremental aggregation. */
+  def streamingTumbling(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(Tables.schemas("events"))
+      .parquet(s"$dir")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("event_count"),
+        moneySum(col("value")).cast("double").as("value_sum"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("event_count"), col("value_sum"))
+}

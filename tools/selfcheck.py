@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's t2 correctness gate: for each query dumped by
+graft.Verify, run the oracle SQL in DuckDB over the same testdata parquet and
+compare (columns sorted by name, rows sorted, exact values)."""
+import json, math, sys
+import duckdb
+import pandas as pd
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+
+TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fails, passes, skips = [], [], []
+for name, sql in sorted(oracle.items()):
+    if only and name not in only:
+        continue
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    try:
+        spark_df = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+    except Exception as e:
+        fails.append((name, f"no spark result: {e}")); continue
+    try:
+        duck_df = con.execute(sql).df()
+    except Exception as e:
+        fails.append((name, f"oracle error: {e}")); continue
+    sc = sorted(spark_df.columns); dc = sorted(duck_df.columns)
+    if sc != dc:
+        fails.append((name, f"schema mismatch: spark={sc} duck={dc}")); continue
+    if len(spark_df) != len(duck_df):
+        fails.append((name, f"rowcount mismatch: spark={len(spark_df)} duck={len(duck_df)}")); continue
+    a = spark_df[sc].sort_values(sc, na_position="last").reset_index(drop=True)
+    b = duck_df[sc].sort_values(sc, na_position="last").reset_index(drop=True)
+    bad = None
+    for col in sc:
+        av, bv = a[col].tolist(), b[col].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            xn = x is None or pd.isna(x)
+            yn = y is None or pd.isna(y)
+            if xn and yn:
+                continue
+            if xn != yn or x != y:
+                bad = (col, i, x, y); break
+        if bad: break
+    if bad:
+        fails.append((name, f"value mismatch col={bad[0]} row={bad[1]}: spark={bad[2]!r} duck={bad[3]!r}"))
+    else:
+        passes.append(name)
+
+for n in passes: print(f"PASS {n}")
+for n, why in fails: print(f"FAIL {n}: {why}")
+print(f"\n{len(passes)} pass / {len(fails)} fail")
+sys.exit(1 if fails else 0)
