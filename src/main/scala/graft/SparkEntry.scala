@@ -12,7 +12,11 @@ object SparkEntry {
 
   private def registry: Seq[Q] =
     operators.CoreQueries.all ++
-    streaming.Events.all
+    streaming.Events.all ++
+    operators.TextAnalysis.all ++
+    operators.Dedup.all ++
+    operators.SimilaritySearch.all ++
+    operators.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

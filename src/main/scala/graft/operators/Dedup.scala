@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.functions.Similarity
+import graft.sources.Tables
+
+/** Deduplication family over `documents`/`embeddings` (BASELINE.json north
+  * star): exact hash dedup, n-gram Jaccard, MinHash+LSH banding, SimHash,
+  * and embedding-cosine near-dup.
+  *
+  * Scale design: the brute-force pair queries (q31/q34) are the
+  * oracle-checkable ground truth at test scale; the production paths are the
+  * sketch-based ones (q32 MinHash-LSH, q33 SimHash) whose candidate
+  * generation is a bucket equi-join — shuffle on (band, hash), candidates
+  * per bucket stay small, no O(n²) stage. The exact-Jaccard verify step only
+  * runs on the candidate set.
+  */
+object Dedup {
+
+  /** Exploded (doc_id, n_sh, shingle) relation shared by Jaccard/MinHash. */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("w", TextAnalysis.words(col("text")))
+      .withColumn("sh", TextAnalysis.shingles(col("w")))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+
+  /** All-pairs exact word-3-gram Jaccard via shingle equi-join (no cross
+    * join: only docs sharing a shingle ever meet). */
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingled(spark, dir)
+    val a = ex.toDF("doc_a", "na", "shingle")
+    val b = ex.toDF("doc_b", "nb", "shingle_b")
+    a.join(b, col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+  }
+
+  /** q30 — exact dedup: md5-hash groupBy, min-doc survivor, cluster size
+    * (the A7 distinct dedup generalized to content hashing). */
+  val q30ExactDedup: Q = Q(
+    "q30_dedup_exact",
+    (s, dir) => Tables(s, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(
+        min(col("doc_id")).as("survivor_doc"),
+        count(lit(1)).as("cluster_size"),
+        (count(lit(1)) - 1).as("dups_removed")),
+    Some("""SELECT md5(text) AS content_hash, MIN(doc_id) AS survivor_doc,
+      |  COUNT(*) AS cluster_size, COUNT(*) - 1 AS dups_removed
+      |FROM documents GROUP BY 1""".stripMargin))
+
+  /** q31 — n-gram Jaccard near-dup pairs (exact, oracle-checkable ground
+    * truth for the sketch paths). */
+  val q31NgramJaccard: Q = Q(
+    "q31_dedup_ngram_jaccard",
+    (s, dir) => jaccardPairs(s, dir)
+      .filter(col("jaccard") >= 0.1)
+      .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard")),
+    Some("""WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                   FOR i IN range(1, greatest(len(w) - 1, 1))]) AS shingles
+      |  FROM toks),
+      |ex AS (
+      |  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+      |  FROM sh WHERE len(shingles) > 0),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+      |         COUNT(*) AS common
+      |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT doc_a, doc_b, common,
+      |  CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+      |FROM pairs
+      |WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.1""".stripMargin))
+
+  /** q32 — MinHash + LSH banding: 16 seeded xxhash64 min-hashes per doc,
+    * 4 bands × 4 rows; docs sharing any band hash become candidates; exact
+    * Jaccard then verifies. Spark-hash-seeded → no SQL oracle (rows-only). */
+  val q32MinHashLsh: Q = Q(
+    "q32_dedup_minhash_lsh",
+    (s, dir) => {
+      val numHashes = 16
+      val bandsN = 4
+      val rows = numHashes / bandsN
+      val ex = shingled(s, dir)
+      val sig = ex.groupBy(col("doc_id")).agg(
+        min(xxhash64(lit(0), col("shingle"))).as("mh0"),
+        (1 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh$i")): _*)
+      val bandCols = (0 until bandsN).map { b =>
+        xxhash64((lit(b) +: (0 until rows).map(r => col(s"mh${b * rows + r}"))): _*).as(s"band$b")
+      }
+      val banded = sig.select((col("doc_id") +: bandCols): _*)
+      val exploded = banded.select(col("doc_id"),
+        posexplode(array((0 until bandsN).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band_hash")))
+      val ca = exploded.toDF("doc_a", "band_idx", "band_hash")
+      val cb = exploded.toDF("doc_b", "band_idx_b", "band_hash_b")
+      val candidates = ca.join(cb,
+          col("band_idx") === col("band_idx_b") &&
+          col("band_hash") === col("band_hash_b") &&
+          col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      // est_jaccard from full signatures; exact verify on candidates only
+      val sa = sig.toDF(("doc_a" +: (0 until numHashes).map(i => s"a$i")): _*)
+      val sb = sig.toDF(("doc_b" +: (0 until numHashes).map(i => s"b$i")): _*)
+      val est = candidates.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("est_jaccard",
+          (0 until numHashes).map(i =>
+            when(col(s"a$i") === col(s"b$i"), 1.0).otherwise(0.0))
+            .reduce(_ + _) / numHashes)
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      est.join(jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"), col("jaccard")),
+          Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+          coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
+    },
+    None)
+
+  /** q33 — SimHash: 64-bit signature from per-shingle xxhash64 bit votes;
+    * near-dup pairs = hamming distance ≤ 10 (random docs sit near hamming 32,
+    * so ≤10 isolates true near-dups). Features are 3-gram shingles, not
+    * words: the synthetic vocabulary is tiny, so word SETS are nearly
+    * identical across all docs and carry no signal, while shingles are
+    * near-unique per doc. Spark-hash-based → rows-only. */
+  val q33SimHash: Q = Q(
+    "q33_dedup_simhash",
+    (s, dir) => {
+      val bits = 64
+      val wordsRel = shingled(s, dir).select(col("doc_id"), col("shingle"))
+        .withColumn("h", xxhash64(col("shingle")))
+      val votes = wordsRel.groupBy(col("doc_id")).agg(
+        sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("v0"),
+        (1 until bits).map(b =>
+          sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")): _*)
+      val sim = votes.select(col("doc_id"),
+        (0 until bits).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+      val a = sim.toDF("doc_a", "sim_a")
+      val b = sim.toDF("doc_b", "sim_b")
+      a.join(b, col("doc_a") < col("doc_b"))
+        .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+        .filter(col("hamming") <= 10)
+        .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"),
+          col("hamming").cast("long").as("hamming"))
+    },
+    None)
+
+  /** q34 — embedding-cosine near-dup pairs (brute force at test scale; the
+    * LSH-bucketed scale path is q36). Sequential-fold double arithmetic
+    * matches DuckDB's list_dot_product bitwise. */
+  val q34EmbeddingDups: Q = Q(
+    "q34_dedup_embedding",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.toDoubleArray(col("embedding")).as("emb"))
+      val a = e.toDF("vec_a", "emb_a")
+      val b = e.toDF("vec_b", "emb_b")
+      a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("cosine",
+          Similarity.dot(col("emb_a"), col("emb_b")) /
+            (Similarity.norm(col("emb_a")) * Similarity.norm(col("emb_b"))))
+        .filter(col("cosine") >= 0.35)
+        .select(col("vec_a"), col("vec_b"), col("cosine"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  list_dot_product(a.emb, b.emb) /
+      |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cosine
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.emb, b.emb) /
+      |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.35""".stripMargin))
+
+  val all: Seq[Q] = Seq(q30ExactDedup, q31NgramJaccard, q32MinHashLsh, q33SimHash, q34EmbeddingDups)
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.functions.Similarity
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor surface over the `embeddings` table
+  * (BASELINE.json north star): brute-force cosine top-k as the exact
+  * baseline, and a random-hyperplane LSH-bucketed variant as the scale path.
+  *
+  * Scale design: brute force is O(N×Q) — fine when the query set is small
+  * and broadcast (as here: corpus×broadcast(queries), no shuffle of the
+  * corpus). The LSH variant buckets both sides by sign-bit codes so the join
+  * is a bucket equi-join; recall trades off with bucket bits. Norms are
+  * computed once per row, not once per pair.
+  */
+object SimilaritySearch {
+
+  /** q35 — brute-force cosine top-k: for each query vector (vec_id < 8),
+    * the 5 nearest other vectors by cosine, ties broken by vec_id. */
+  val q35BruteForceTopK: Q = Q(
+    "q35_ann_bruteforce",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.toDoubleArray(col("embedding")).as("emb"))
+        .withColumn("nrm", Similarity.norm(col("emb")))
+      val queries = e.select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+        .filter(col("q_id") < 8)
+      val scored = e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .withColumn("cosine",
+          Similarity.cosinePre(Similarity.dot(col("emb"), col("q_emb")),
+            col("nrm"), col("q_nrm")))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id").asc))
+          .cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
+    },
+    Some("""WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM e WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q.q_id, e.vec_id AS neighbor_id,
+      |         list_dot_product(e.emb, q.q_emb) / (e.nrm * q.q_nrm) AS cosine
+      |  FROM e JOIN q ON e.vec_id <> q.q_id)
+      |SELECT q_id, neighbor_id, cosine, rank FROM (
+      |  SELECT q_id, neighbor_id, cosine,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |           ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+      |  FROM scored) r
+      |WHERE rank <= 5""".stripMargin))
+
+  /** q36 — LSH-bucketed ANN: 4 deterministic pseudo-random hyperplanes
+    * (coefficients derived from xxhash64 of (plane, dim)) give a 4-bit
+    * sign code; neighbors are searched only within the query's bucket.
+    * Spark-hash-derived planes → rows-only check. */
+  val q36LshTopK: Q = Q(
+    "q36_ann_lsh",
+    (s, dir) => {
+      val planes = 4
+      def planeCoef(p: Int) =
+        transform(sequence(lit(0), lit(63)),
+          d => (pmod(xxhash64(lit(p), d), lit(1000)).cast("double") / 1000.0) - 0.5)
+      def code(embCol: org.apache.spark.sql.Column) =
+        (0 until planes).map { p =>
+          val proj = aggregate(zip_with(embCol, planeCoef(p), (x, c) => x * c),
+            lit(0.0), (acc, x) => acc + x)
+          when(proj > 0, lit(1 << p)).otherwise(lit(0))
+        }.reduce(_ + _)
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.toDoubleArray(col("embedding")).as("emb"))
+        .withColumn("nrm", Similarity.norm(col("emb")))
+        .withColumn("bucket", code(col("emb")))
+      val queries = e.select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
+        .filter(col("q_id") < 8)
+      e.join(broadcast(queries),
+          col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+        .withColumn("cosine",
+          Similarity.cosinePre(Similarity.dot(col("emb"), col("q_emb")),
+            col("nrm"), col("q_nrm")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id").asc))
+          .cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("bucket").cast("long").as("bucket"),
+          col("cosine"), col("rank"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(q35BruteForceTopK, q36LshTopK)
+}

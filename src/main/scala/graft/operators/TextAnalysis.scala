@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table (BASELINE.json north
+  * star: language-ID, quality scoring, token counting, fingerprinting).
+  * Everything is built-in expressions (split/regexp/higher-order functions) —
+  * whole-stage codegen, no UDFs, embarrassingly parallel per-row → scales
+  * linearly with input splits at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization of trimmed text (shared by all text ops). */
+  def words(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Word n-gram shingles (n=3) from a words-array column, deduplicated —
+    * the MinHash/Jaccard feature set. Empty when the doc has <3 words. */
+  def shingles(wordsCol: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(wordsCol) - 2, lit(0))),
+      i => concat_ws(" ",
+        element_at(wordsCol, i), element_at(wordsCol, i + 1), element_at(wordsCol, i + 2))))
+
+  /** Stopword lexicon for the heuristic scorers. Tiny inline set matched to
+    * the synthetic vocabulary; real pipelines swap in per-language lists. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and")
+
+  /** Per-"language" marker words for the n-gram/stopword language-ID
+    * heuristic (deterministic stand-in lexicon for the synthetic corpus). */
+  val langLexicon: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of",
+    "sqlish" -> "query", "sqlish" -> "table", "sqlish" -> "scan", "sqlish" -> "join",
+    "streamish" -> "stream", "streamish" -> "window", "streamish" -> "batch")
+
+  /** q20 — descriptive text statistics (length, words, distinct ratio). */
+  val q20TextStats: Q = Q(
+    "q20_text_stats",
+    (s, dir) => Tables(s, dir, "documents")
+      .withColumn("w", words(col("text")))
+      .select(
+        col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        length(col("text")).cast("long").as("char_len"),
+        size(col("w")).cast("long").as("word_count"),
+        size(array_distinct(col("w"))).cast("long").as("distinct_words"),
+        (length(regexp_replace(col("text"), "\\s+", "")).cast("double") / size(col("w")))
+          .as("avg_word_len")),
+    Some("""SELECT doc_id, lang, source, n_chars,
+      |  CAST(length(text) AS BIGINT) AS char_len,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS word_count,
+      |  CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS distinct_words,
+      |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+      |    / len(regexp_split_to_array(trim(text), '\s+')) AS avg_word_len
+      |FROM documents""".stripMargin))
+
+  /** q21 — token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / single digits / other symbols), rolled up per source. */
+  val q21TokenCount: Q = Q(
+    "q21_token_count",
+    (s, dir) => Tables(s, dir, "documents")
+      .select(col("source"),
+        size(words(col("text"))).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("long").as("bpe_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("doc_count"),
+        sum(col("ws_tokens")).as("total_ws_tokens"),
+        sum(col("bpe_tokens")).as("total_bpe_tokens"),
+        max(col("bpe_tokens")).as("max_bpe_tokens")),
+    Some("""SELECT source, COUNT(*) AS doc_count,
+      |  CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+      |  CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+      |  MAX(bpe_tokens) AS max_bpe_tokens
+      |FROM (SELECT source,
+      |        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+      |        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+      |      FROM documents) t
+      |GROUP BY source""".stripMargin))
+
+  /** q22 — language ID by marker-word voting: explode words, broadcast-join
+    * the lexicon, count matches per candidate language, argmax with pinned
+    * tiebreak (matches DESC, lang ASC); unmatched docs → 'und'. */
+  val q22LangId: Q = Q(
+    "q22_lang_id",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val lex = langLexicon.toDF("cand_lang", "word")
+      val matches = docs
+        .select(col("doc_id"), explode(words(col("text"))).as("word"))
+        .join(broadcast(lex), Seq("word"))
+        .groupBy(col("doc_id"), col("cand_lang"))
+        .agg(count(lit(1)).as("matches"))
+      val best = matches
+        .groupBy(col("doc_id"))
+        .agg(min(struct(negate(col("matches")).as("neg"), col("cand_lang").as("lang"))).as("top"))
+        .select(col("doc_id"), col("top.lang").as("best_lang"),
+          negate(col("top.neg")).as("match_count"))
+      docs.select(col("doc_id"), col("lang").as("labeled_lang"))
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("labeled_lang"),
+          coalesce(col("best_lang"), lit("und")).as("predicted_lang"),
+          coalesce(col("match_count"), lit(0L)).as("match_count"))
+    },
+    Some("""WITH lex(cand_lang, word) AS (VALUES
+      |  ('en','the'),('en','a'),('en','of'),
+      |  ('sqlish','query'),('sqlish','table'),('sqlish','scan'),('sqlish','join'),
+      |  ('streamish','stream'),('streamish','window'),('streamish','batch')),
+      |exploded AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, cand_lang, COUNT(*) AS matches
+      |  FROM exploded JOIN lex USING (word)
+      |  GROUP BY doc_id, cand_lang),
+      |best AS (
+      |  SELECT doc_id, cand_lang AS best_lang, matches AS match_count
+      |  FROM (SELECT doc_id, cand_lang, matches,
+      |          ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                             ORDER BY matches DESC, cand_lang ASC) AS rn
+      |        FROM scored) r
+      |  WHERE rn = 1)
+      |SELECT d.doc_id, d.lang AS labeled_lang,
+      |  COALESCE(b.best_lang, 'und') AS predicted_lang,
+      |  COALESCE(b.match_count, 0) AS match_count
+      |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id""".stripMargin))
+
+  /** q23 — document fingerprinting: whitespace-normalized lowercase md5,
+    * grouped to find exact-duplicate clusters with a canonical (min) doc. */
+  val q23Fingerprint: Q = Q(
+    "q23_fingerprint",
+    (s, dir) => Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary"))
+          .as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("canonical_doc")),
+    Some("""SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |  COUNT(*) AS cluster_size, MIN(doc_id) AS canonical_doc
+      |FROM documents GROUP BY 1""".stripMargin))
+
+  /** q24 — quality scoring: length/diversity/stopword-ratio blend. The exact
+    * double expression structure is mirrored in the oracle so per-row IEEE
+    * arithmetic is identical. */
+  val q24Quality: Q = Q(
+    "q24_quality_score",
+    (s, dir) => {
+      val stopArr = array(stopwords.map(lit): _*)
+      Tables(s, dir, "documents")
+        .withColumn("w", words(col("text")))
+        .withColumn("word_count", size(col("w")).cast("long"))
+        .withColumn("distinct_ratio",
+          size(array_distinct(col("w"))).cast("double") / col("word_count"))
+        .withColumn("stopword_ratio",
+          size(filter(col("w"), x => array_contains(stopArr, x))).cast("double") / col("word_count"))
+        .select(
+          col("doc_id"), col("word_count"), col("distinct_ratio"), col("stopword_ratio"),
+          (least(col("word_count").cast("double") / lit(100.0), lit(1.0)) * lit(0.3)
+            + col("distinct_ratio") * lit(0.4)
+            + (lit(1.0) - col("stopword_ratio")) * lit(0.3)).as("quality_score"))
+    },
+    Some("""SELECT doc_id, word_count, distinct_ratio, stopword_ratio,
+      |  least(CAST(word_count AS DOUBLE) / 100.0, 1.0) * 0.3
+      |    + distinct_ratio * 0.4
+      |    + (1.0 - stopword_ratio) * 0.3 AS quality_score
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(w) AS BIGINT) AS word_count,
+      |    CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS BIGINT) AS distinct_ratio,
+      |    CAST(len(list_filter(w, x -> list_contains(['the','a','of','and'], x))) AS DOUBLE)
+      |      / CAST(len(w) AS BIGINT) AS stopword_ratio
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |        FROM documents) raw) feat""".stripMargin))
+
+  val all: Seq[Q] = Seq(q20TextStats, q21TokenCount, q22LangId, q23Fingerprint, q24Quality)
+}

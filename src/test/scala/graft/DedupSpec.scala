@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+/** Dedup family on the real sf0.001 corpus: the sketch paths must agree with
+  * the exact-Jaccard ground truth. */
+class DedupSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private lazy val exact = Dedup.jaccardPairs(spark, TestSpark.sf0001)
+    .filter(org.apache.spark.sql.functions.col("jaccard") >= 0.8)
+    .select("doc_a", "doc_b")
+    .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("MinHash-LSH recovers high-Jaccard pairs (recall ≥ 0.8 at J≥0.8)") {
+    val cand = Dedup.q32MinHashLsh.run(spark, TestSpark.sf0001)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    val recall = exact.count(cand.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall over ${exact.size} true pairs")
+  }
+
+  test("SimHash hamming≤10 captures high-Jaccard pairs with low noise") {
+    val sh = Dedup.q33SimHash.run(spark, TestSpark.sf0001)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(sh.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"simhash recall $recall")
+    assert(sh.size <= exact.size * 20 + 50, s"simhash too noisy: ${sh.size} pairs")
+  }
+
+  test("exact dedup clusters cover all docs exactly once") {
+    val df = Dedup.q30ExactDedup.run(spark, TestSpark.sf0001)
+    val total = df.agg(org.apache.spark.sql.functions.sum("cluster_size")).head().getLong(0)
+    val docs = graft.sources.Tables(spark, TestSpark.sf0001, "documents").count()
+    assert(total == docs)
+  }
+}
