@@ -1,32 +1,44 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import graft.expressions.{CosineSimilarity, DotProduct}
 
 /** Vector similarity primitives over ArrayType columns (SURVEY.md §2.10/§2.11
-  * extension surface — the one UDF candidate in the reference maps here; we
-  * use codegen'd higher-order functions instead of UDFs).
+  * extension surface).
   *
-  * Determinism: embeddings are float[]; we cast to double[] FIRST so every
-  * product is a double×double IEEE op, then fold left-to-right — bit-for-bit
-  * reproducible and identical to DuckDB's sequential list_dot_product.
+  * The default implementations are the native codegen'd Catalyst expressions
+  * (graft.expressions): Spark's higher-order functions are CodegenFallback
+  * (interpreted per element), which is ~50× slower in pairwise-join hot
+  * loops. The HOF formulations are kept (`dotHof`) as an executable spec —
+  * SimilaritySpec asserts bit-identical results.
+  *
+  * Determinism: embeddings are float[]; cast to double[] FIRST (a native,
+  * codegen'd Cast) so every product is a double×double IEEE op folded
+  * left-to-right — bit-for-bit identical to DuckDB's list_dot_product.
   */
 object Similarity {
 
-  /** float[] → double[] so downstream arithmetic is pure double IEEE. */
-  def toDoubleArray(c: Column): Column = transform(c, x => x.cast("double"))
+  /** float[] → double[] via native Cast (codegen'd, unlike transform()). */
+  def toDoubleArray(c: Column): Column = c.cast(ArrayType(DoubleType))
 
-  /** Sequential-fold dot product via zip_with + aggregate (codegen-friendly,
-    * no UDF). Inputs must already be double[]. */
+  /** Compiled sequential-fold dot product (graft.expressions.DotProduct). */
   def dot(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Interpreted HOF reference implementation (executable spec for `dot`). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity with explicit (normA*normB) grouping — the oracle SQL
-    * must parenthesize identically for bitwise-equal doubles. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** One-pass compiled cosine (dot and both norms in a single loop; same
+    * final grouping dot/(sqrt*sqrt) as the oracle SQL → bitwise equal). */
+  def cosine(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
 
   /** Cosine given precomputed norms (compute each row's norm once, not once
     * per pair — at 100 TB the norm column is materialized with the vector). */

@@ -19,13 +19,25 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  /** Exploded (doc_id, n_sh, shingle) relation shared by Jaccard/MinHash. */
+  /** Exploded (doc_id, n_sh, shingle) relation shared by Jaccard/MinHash
+    * (n_sh = count of DISTINCT shingles in the doc; dedup happens row-wise
+    * after explode, keeping the shingle projection codegen'd — see
+    * TextAnalysis.shingles). Persisted: the sketch queries reference it from
+    * several join sides, and Spark's cache manager dedupes by canonicalized
+    * plan, so all of them hit one materialization. Repartitioned first — the
+    * corpus arrives as one small parquet file (one input split), which would
+    * otherwise serialize everything downstream on a single task. */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
+      .repartition(col("doc_id"))
       .withColumn("w", TextAnalysis.words(col("text")))
-      .withColumn("sh", TextAnalysis.shingles(col("w")))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(TextAnalysis.shingles(col("w"))).as("shingle"))
+      .distinct()
+      .withColumn("n_sh", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("n_sh"), col("shingle"))
+      .persist()
 
   /** All-pairs exact word-3-gram Jaccard via shingle equi-join (no cross
     * join: only docs sharing a shingle ever meet). */
@@ -94,6 +106,7 @@ object Dedup {
       val sig = ex.groupBy(col("doc_id")).agg(
         min(xxhash64(lit(0), col("shingle"))).as("mh0"),
         (1 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh$i")): _*)
+        .persist() // referenced from three join sides (bands, sa, sb)
       val bandCols = (0 until bandsN).map { b =>
         xxhash64((lit(b) +: (0 until rows).map(r => col(s"mh${b * rows + r}"))): _*).as(s"band$b")
       }
@@ -142,7 +155,7 @@ object Dedup {
       val sim = votes.select(col("doc_id"),
         (0 until bits).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
-      val a = sim.toDF("doc_a", "sim_a")
+      val a = sim.repartition(col("doc_id")).toDF("doc_a", "sim_a")
       val b = sim.toDF("doc_b", "sim_b")
       a.join(b, col("doc_a") < col("doc_b"))
         .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
@@ -158,14 +171,17 @@ object Dedup {
   val q34EmbeddingDups: Q = Q(
     "q34_dedup_embedding",
     (s, dir) => {
+      // Norms precomputed once per row; the non-equi pair join leaves the
+      // single-file input unpartitioned, so spread the probe side first.
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), Similarity.toDoubleArray(col("embedding")).as("emb"))
-      val a = e.toDF("vec_a", "emb_a")
-      val b = e.toDF("vec_b", "emb_b")
+        .withColumn("nrm", Similarity.norm(col("emb")))
+      val a = e.repartition(col("vec_id")).toDF("vec_a", "emb_a", "nrm_a")
+      val b = e.toDF("vec_b", "emb_b", "nrm_b")
       a.join(b, col("vec_a") < col("vec_b"))
         .withColumn("cosine",
-          Similarity.dot(col("emb_a"), col("emb_b")) /
-            (Similarity.norm(col("emb_a")) * Similarity.norm(col("emb_b"))))
+          Similarity.cosinePre(Similarity.dot(col("emb_a"), col("emb_b")),
+            col("nrm_a"), col("nrm_b")))
         .filter(col("cosine") >= 0.35)
         .select(col("vec_a"), col("vec_b"), col("cosine"))
     },

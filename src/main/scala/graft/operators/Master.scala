@@ -14,10 +14,11 @@ import graft.sources.Tables
   * (transform-complex-full.py:167-195).
   *
   * Scale design (100 TB):
-  *  - The three per-order aggregates and the items⨝orders join all hash on
-  *    the same key (`l_orderkey`), so Catalyst/AQE plans one shuffle family,
-  *    reusing exchanges where possible; aggregates are partial+final (map-side
-  *    combine) so the shuffle carries one row per (order, flag), not per line.
+  *  - All per-order aggregates (totals, argmax, min/max/avg) are fused into
+  *    ONE two-stage aggregation (Aggregates.perOrderAll): lineitem is
+  *    scanned twice total (items + aggregate side), with a single
+  *    map-combined shuffle of near-order-grain rows instead of three
+  *    lineitem-grain shuffles.
   *  - nation/region are broadcast explicitly; customer is left to AQE's
   *    size-based broadcast decision (small here, shuffle-join at real scale).
   *  - All KPI expressions are built-in (whole-stage codegen, no UDFs).
@@ -48,9 +49,7 @@ object Master {
 
     items
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(Aggregates.perOrder(l), Seq("l_orderkey"), "left")
-      .join(Aggregates.primaryFlag(l), Seq("l_orderkey"), "left")
-      .join(Aggregates.revStats(l), Seq("l_orderkey"), "left")
+      .join(Aggregates.perOrderAll(l), Seq("l_orderkey"), "left")
       .join(cust, col("o_custkey") === col("c_custkey"), "left")
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"), "left")
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"), "left")

@@ -16,13 +16,18 @@ object TextAnalysis {
   /** Whitespace tokenization of trimmed text (shared by all text ops). */
   def words(c: Column): Column = split(trim(c), "\\s+")
 
-  /** Word n-gram shingles (n=3) from a words-array column, deduplicated —
-    * the MinHash/Jaccard feature set. Empty when the doc has <3 words. */
+  /** Word n-gram shingles (n=3) from a words-array column — the
+    * MinHash/Jaccard feature set. REQUIRES size(wordsCol) >= 3: callers must
+    * filter first (under ANSI mode element_at would throw out-of-bounds and
+    * sequence(1,0) descends). Not deduplicated — explode then `.distinct()`
+    * row-wise instead: wrapping this in when()/array_distinct forces the
+    * whole projection onto the interpreted CodegenFallback path (measured
+    * 18s vs 0.7s on the sf0.1 corpus). */
   def shingles(wordsCol: Column): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(wordsCol) - 2, lit(0))),
+    transform(
+      sequence(lit(1), size(wordsCol) - 2),
       i => concat_ws(" ",
-        element_at(wordsCol, i), element_at(wordsCol, i + 1), element_at(wordsCol, i + 2))))
+        element_at(wordsCol, i), element_at(wordsCol, i + 1), element_at(wordsCol, i + 2)))
 
   /** Stopword lexicon for the heuristic scorers. Tiny inline set matched to
     * the synthetic vocabulary; real pipelines swap in per-language lists. */

@@ -1,0 +1,21 @@
+// Scratch runner: prints the formatted physical plan of a named query.
+// Usage: bash tools/run.sh graft.tools.Explain <query_name> [sfDir]
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    df.explain("formatted")
+    spark.stop()
+  }
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{classic, Column}
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal private[sql]-access bridge (the standard pattern for Spark
+  * extension libraries): converts between the public Column API and catalyst
+  * Expressions so graft's native expressions can be used from DataFrame code
+  * without registering SQL functions first. */
+object Bridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

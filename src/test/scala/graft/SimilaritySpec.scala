@@ -26,4 +26,34 @@ class SimilaritySpec extends AnyFunSuite {
     val out = df.select(Similarity.dot(col("a"), col("b")).as("d")).as[Double].head()
     assert(out == ((0.1 * 1.0) + (0.2 * 1.0)) + (0.3 * 1.0)) // exact bit match
   }
+
+  test("native codegen expressions match the HOF reference bit-for-bit on real vectors") {
+    val e = graft.sources.Tables(spark, TestSpark.sf0001, "embeddings")
+      .limit(50)
+      .select(col("vec_id"), Similarity.toDoubleArray(col("embedding")).as("emb"))
+    val a = e.toDF("ia", "va")
+    val b = e.toDF("ib", "vb")
+    val both = a.join(b, col("ia") < col("ib"))
+      .select(
+        Similarity.dot(col("va"), col("vb")).as("native"),
+        Similarity.dotHof(col("va"), col("vb")).as("hof"),
+        Similarity.cosine(col("va"), col("vb")).as("cos_native"),
+        (Similarity.dotHof(col("va"), col("vb")) /
+          (sqrt(Similarity.dotHof(col("va"), col("va"))) *
+           sqrt(Similarity.dotHof(col("vb"), col("vb"))))).as("cos_hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "dot mismatch")
+      assert(r.getDouble(2) == r.getDouble(3), "cosine mismatch")
+    }
+  }
+
+  test("graft_dot / graft_cosine are SQL-callable after extension registration") {
+    graft.expressions.GraftExtensions.register(spark)
+    val out = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+      "graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").head()
+    assert(out.getDouble(0) == 11.0 && out.getDouble(1) == 1.0)
+  }
 }
