@@ -1,0 +1,174 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.OlistPipeline
+
+/** End-to-end parity spec for the reference pipeline on Olist-shaped
+  * fixtures (FIXTURES.md §3): CSV raw load → dim_locations → master_table.
+  */
+class OlistPipelineSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Write fixture CSVs exactly as the reference would read them from S3. */
+  private def writeFixtures(dir: String): Unit = {
+    def w(name: String, header: String, rows: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(s"$dir/$name"),
+        (header +: rows).mkString("\n").getBytes("UTF-8"))
+    w("olist_orders_dataset.csv",
+      "order_id,customer_id,order_status,order_purchase_timestamp,order_approved_at,order_delivered_carrier_date,order_delivered_customer_date,order_estimated_delivery_date",
+      Seq(
+        // delivered LATE (delivered > estimated)
+        "o1,c1, DELIVERED ,2017-10-02 10:56:33,2017-10-02 11:07:15,2017-10-04 19:55:00,2017-10-12 21:25:13,2017-10-10 00:00:00",
+        // in flight: delivered ts NULL → NULL KPIs / NULL late flag
+        "o2,c2,shipped,2017-11-01 08:00:00,2017-11-01 09:00:00,2017-11-03 12:00:00,,2017-12-01 00:00:00"))
+    w("olist_order_items_dataset.csv",
+      "order_id,order_item_id,product_id,seller_id,shipping_limit_date,price,freight_value",
+      Seq(
+        "o1,1,p1,s1,2017-10-06 11:07:15,58.90,13.29",
+        "o1,2,p2,s1,2017-10-06 11:07:15,100.00,0.01",
+        "o2,1,p1,s1,2017-11-05 09:00:00,10.00,5.00"))
+    w("olist_order_payments_dataset.csv",
+      "order_id,payment_sequential,payment_type,payment_installments,payment_value",
+      Seq(
+        // TIE on sums (50.00 each) → pinned tiebreak picks 'boleto' (asc)
+        "o1,1,credit_card,3,50.00",
+        "o1,2,boleto,0,50.00",   // installments=0 → NULLIF drops it
+        "o2,1,voucher,1,15.00"))
+    w("olist_order_reviews_dataset.csv",
+      "review_id,order_id,review_score,review_creation_date,review_answer_timestamp",
+      Seq(
+        "r1,o1,4,2017-10-13 00:00:00,2017-10-14 03:00:00",
+        "r2,o1,5,2017-10-15 00:00:00,2017-10-16 12:00:00"))
+        // o2: no reviews → NULL review aggregates
+    w("olist_customers_dataset.csv",
+      "customer_id,customer_unique_id,customer_zip_code_prefix,customer_city,customer_state",
+      Seq(
+        "c1,u1,01310,são paulo,SP",
+        "c2,u2,20000,rio de janeiro,RJ"))
+    w("olist_sellers_dataset.csv",
+      "seller_id,seller_zip_code_prefix,seller_city,seller_state",
+      Seq("s1,01310,são paulo,SP"))
+    w("olist_geolocation_dataset.csv",
+      "geolocation_zip_code_prefix,geolocation_lat,geolocation_lng,geolocation_city,geolocation_state",
+      Seq(
+        "01310,-23.56,-46.65,são paulo,SP",
+        "01310,-23.57,-46.66,são paulo,SP",      // duplicate triple → dedup
+        "20000,-22.90,-43.20,rio de janeiro,RJ",
+        ",,,missing city,ZZ",                     // NULL zip → dropna
+        "99999,-1.0,-1.0,unknown town,XX"))       // state outside the 27-dict → NULL state_name
+    w("olist_products_dataset.csv",
+      "product_id,product_category_name,product_name_lenght,product_description_lenght,product_photos_qty,product_weight_g,product_length_cm,product_height_cm,product_width_cm",
+      Seq(
+        "p1,informatica_acessorios,10,100,1,300,20,10,15",
+        "p2,categoria_sem_traducao,5,50,1,100,10,5,5"))  // untranslated → COALESCE fallback
+    w("product_category_name_translation.csv",
+      "product_category_name,product_category_name_english",
+      Seq("informatica_acessorios,computers_accessories"))
+  }
+
+  private lazy val lake: String = {
+    val src = Files.createTempDirectory("olist-src").toString
+    val lakeDir = Files.createTempDirectory("olist-lake").toString
+    writeFixtures(src)
+    OlistPipeline.runPipeline(spark, src, lakeDir)
+    lakeDir
+  }
+
+  private lazy val master = spark.read.parquet(s"$lake/master_table.parquet").cache()
+  private lazy val dim = spark.read.parquet(s"$lake/dim_locations.parquet").cache()
+
+  test("dim_locations: union→dedup→dropna, dict miss → NULL, dense deterministic keys") {
+    val rows = dim.collect()
+    // 3 zips survive: 01310, 20000, 99999 (null-zip row dropped, dup deduped)
+    assert(rows.length == 3)
+    val ids = rows.map(_.getAs[Long]("location_id")).sorted
+    assert(ids.toSeq == Seq(0L, 1L, 2L))
+    val byZip = rows.map(r => r.getAs[String]("zip_code_prefix") -> r).toMap
+    assert(byZip("01310").getAs[String]("state_name") == "São Paulo")
+    assert(byZip("99999").getAs[String]("state_name") == null) // XX not in dict
+  }
+
+  test("master grain is (order_id, order_item_id) and row count matches items") {
+    assert(master.count() == 3)
+    assert(master.select("order_id", "order_item_id").distinct().count() == 3)
+  }
+
+  test("argmax payment type: exact tie broken by type ASC (pinned vs reference LIMIT 1)") {
+    val r = master.filter($"order_id" === "o1").select("primary_payment_type").head()
+    assert(r.getString(0) == "boleto")
+  }
+
+  test("NULLIF drops zero installments; COALESCE backfills; money is exact decimal") {
+    val r = master.filter($"order_id" === "o1" && $"order_item_id" === 1)
+      .select("total_installments", "total_payment_value", "item_gross_revenue").head()
+    assert(r.getAs[Number]("total_installments").longValue == 3L) // 3 + NULLIF(0)
+    assert(r.getDecimal(1).compareTo(new java.math.BigDecimal("100.00")) == 0)
+    assert(r.getDecimal(2).compareTo(new java.math.BigDecimal("72.19")) == 0) // 58.90+13.29
+  }
+
+  test("translation COALESCE falls back to the PT name for untranslated categories") {
+    val cats = master.filter($"order_id" === "o1")
+      .select("product_id", "product_category_en").distinct().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cats("p1") == "computers_accessories")
+    assert(cats("p2") == "categoria_sem_traducao")
+  }
+
+  test("3-key normalized location join resolves customer and seller locations") {
+    val r = master.filter($"order_id" === "o1" && $"order_item_id" === 1)
+      .select("customer_location_id", "seller_location_id", "customer_city_norm").head()
+    assert(!r.isNullAt(0) && !r.isNullAt(1))
+    assert(r.getLong(0) == r.getLong(1)) // same zip/city/state triple
+    assert(r.getString(2) == "SÃO PAULO")
+  }
+
+  test("delivery KPIs: fractional days + three-valued late flag") {
+    val o1 = master.filter($"order_id" === "o1" && $"order_item_id" === 1)
+      .select("delivery_days_actual", "delivery_delay_days", "delivered_late_flag").head()
+    // o1: purchased 10-02 10:56:33, delivered 10-12 21:25:13 → ~10.44 days
+    assert(math.abs(o1.getDouble(0) - 10.436574074074074) < 1e-9)
+    assert(o1.getDouble(1) > 0 && o1.getBoolean(2)) // delivered after estimate → late
+    val o2 = master.filter($"order_id" === "o2")
+      .select("delivery_days_actual", "delivered_late_flag").head()
+    assert(o2.isNullAt(0) && o2.isNullAt(1)) // no delivered ts → NULLs, not false
+  }
+
+  test("review aggregation: avg of casts; missing reviews → NULLs") {
+    val o1 = master.filter($"order_id" === "o1" && $"order_item_id" === 1)
+      .select("review_score_avg").head()
+    assert(o1.getDecimal(0).doubleValue == 4.5)
+    val o2 = master.filter($"order_id" === "o2").select("review_score_avg").head()
+    assert(o2.isNullAt(0))
+  }
+
+  test("normalization variants in sources fan out through the dim exactly like the reference") {
+    // A raw-variant city (" SÃO PAULO ") in customers both adds a dim row and
+    // matches the canonical one after normalization — the reference's
+    // LEFT JOIN duplicates the same way (both sides normalize, dedup is raw).
+    val customers = Seq(("cx", "ux", "01310", " SÃO PAULO ", "SP"))
+      .toDF("customer_id", "customer_unique_id", "customer_zip_code_prefix", "customer_city", "customer_state")
+    val sellers = spark.read.parquet(s"$lake/sellers.parquet")
+    val geo = spark.read.parquet(s"$lake/geolocation.parquet")
+    val dim2 = OlistPipeline.buildDimLocations(customers, sellers, geo)
+    val orders = Seq(("ox", "cx", "delivered", "2017-01-01 00:00:00", null, null, null, null))
+      .toDF("order_id", "customer_id", "order_status", "order_purchase_timestamp",
+        "order_approved_at", "order_delivered_carrier_date",
+        "order_delivered_customer_date", "order_estimated_delivery_date")
+    val items = Seq(("ox", 1, "p1", "s1", "2017-01-02 00:00:00", 1.0, 1.0))
+      .toDF("order_id", "order_item_id", "product_id", "seller_id", "shipping_limit_date", "price", "freight_value")
+    val empty = (t: String) => spark.read.parquet(s"$lake/$t.parquet").limit(0)
+    val m = OlistPipeline.buildMaster(orders, items, empty("order_payments"),
+      empty("order_reviews"), spark.read.parquet(s"$lake/products.parquet"),
+      spark.read.parquet(s"$lake/product_category_name_translation.parquet"),
+      customers, sellers, dim2)
+    // dim now holds two raw SP variants that normalize identically; BOTH the
+    // customer and the seller 3-key joins match both → 2×2 rows, every
+    // location resolved (Postgres would fan out the same way).
+    val got = m.select("customer_location_id").collect()
+    assert(got.length == 4 && got.forall(!_.isNullAt(0)))
+  }
+}
