@@ -220,9 +220,91 @@ object CoreQueries {
       |  CAST(year(o_orderdate) AS BIGINT) AS order_year
       |FROM orders GROUP BY 1, 4""".stripMargin))
 
+  /** J5 analog on testdata — composite-key equi-join with BOTH sides
+    * normalized first (transform-complex-full.py:100-124): a dim of distinct
+    * normalized (status, priority) pairs with a deterministic surrogate key,
+    * joined back to orders on the normalized pair. */
+  val q25MultiKeyNormJoin: Q = Q(
+    "q25_multikey_norm_join",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val dim = o.select(
+          normLower(col("o_orderstatus")).as("status_norm"),
+          normLower(col("o_orderpriority")).as("priority_norm"))
+        .distinct()
+        .withColumn("combo_id", (row_number().over(
+          Window.orderBy(col("status_norm"), col("priority_norm"))) - 1).cast("long"))
+      o.select(col("o_orderkey"),
+          normLower(col("o_orderstatus")).as("status_norm"),
+          normLower(col("o_orderpriority")).as("priority_norm"))
+        .join(broadcast(dim), Seq("status_norm", "priority_norm"), "left")
+        .select(col("o_orderkey"), col("status_norm"), col("priority_norm"), col("combo_id"))
+    },
+    Some("""WITH dim AS (
+      |  SELECT status_norm, priority_norm,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY status_norm, priority_norm) - 1 AS BIGINT) AS combo_id
+      |  FROM (SELECT DISTINCT lower(trim(o_orderstatus)) AS status_norm,
+      |               lower(trim(o_orderpriority)) AS priority_norm FROM orders) d)
+      |SELECT o_orderkey, lower(trim(o_orderstatus)) AS status_norm,
+      |       lower(trim(o_orderpriority)) AS priority_norm, combo_id
+      |FROM orders LEFT JOIN dim
+      |  ON lower(trim(o_orderstatus)) = status_norm
+      | AND lower(trim(o_orderpriority)) = priority_norm""".stripMargin))
+
+  /** Set operations (SURVEY.md §2.7 beyond U1): INTERSECT and EXCEPT with an
+    * origin tag. */
+  val q26SetOps: Q = Q(
+    "q26_setops",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sup = Tables(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.intersect(sup).withColumn("op", lit("both"))
+        .unionByName(c.except(sup).withColumn("op", lit("customer_only")))
+    },
+    Some("""SELECT nationkey, 'both' AS op FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  INTERSECT
+      |  SELECT s_nationkey FROM supplier) a
+      |UNION ALL
+      |SELECT nationkey, 'customer_only' AS op FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  EXCEPT
+      |  SELECT s_nationkey FROM supplier) b""".stripMargin))
+
+  /** ROLLUP hierarchy totals — the BI-layer rollup shape the reference's
+    * indexes serve (transform-complex-full.py:215-221). */
+  val q27Rollup: Q = Q(
+    "q27_rollup",
+    (s, dir) => Tables(s, dir, "orders")
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        moneySum(col("o_totalprice")).cast("double").as("revenue")),
+    Some("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS order_count,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin))
+
+  /** Pivot (status → columns). Spark's pivot yields NULL for absent combos;
+    * both sides coalesce to 0 for parity with FILTERed counts. */
+  val q28Pivot: Q = Q(
+    "q28_pivot",
+    (s, dir) => Tables(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("O"), lit(0L)).as("status_o"),
+        coalesce(col("F"), lit(0L)).as("status_f"),
+        coalesce(col("P"), lit(0L)).as("status_p")),
+    Some("""SELECT o_orderpriority,
+      |  COUNT(*) FILTER (o_orderstatus = 'O') AS status_o,
+      |  COUNT(*) FILTER (o_orderstatus = 'F') AS status_f,
+      |  COUNT(*) FILTER (o_orderstatus = 'P') AS status_p
+      |FROM orders GROUP BY o_orderpriority""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02SelectiveRevenue, q03JoinAgg, q04OrderEnrichment,
     q05PrimaryFlag, q06UnionDistinct, q07DimLocations, q08Master,
     q09ScalarNorm, q10TopKPerGroup, q11CustomerOrderSeq, q12TopOrders,
-    q13MonthlyRollup)
+    q13MonthlyRollup, q25MultiKeyNormJoin, q26SetOps, q27Rollup, q28Pivot)
 }

@@ -106,7 +106,42 @@ object Events {
       |      FROM events) t
       |GROUP BY event_type""".stripMargin))
 
-  val all: Seq[Q] = Seq(q14Tumbling, q15Sessions, q16FirstTouch, q17JsonExtract)
+  /** Sliding 15-minute windows every 5 minutes: each event lands in 3
+    * overlapping windows (the oracle reproduces Spark's epoch-aligned window
+    * assignment by enumerating the 3 candidate starts per event). */
+  val q18Sliding: Q = Q(
+    "q18_events_sliding",
+    (s, dir) => Tables(s, dir, "events")
+      .groupBy(window(col("ts"), "15 minutes", "5 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        moneySum(col("value")).cast("double").as("value_sum"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("event_count"), col("value_sum")),
+    Some("""SELECT make_timestamp(((epoch_us(ts) // 300000000) - off.i) * 300000000) AS bucket_start,
+      |  event_type,
+      |  COUNT(*) AS event_count,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM events CROSS JOIN (VALUES (0), (1), (2)) AS off(i)
+      |GROUP BY 1, 2""".stripMargin))
+
+  /** Sketch aggregates (HLL distinct, approx quantiles) next to their exact
+    * counterparts. Engine-specific sketch implementations differ, so this is
+    * a rows-only check; the spec asserts the approx values sit within the
+    * documented error bound of the exact ones. */
+  val q19Sketches: Q = Q(
+    "q19_events_sketches",
+    (s, dir) => Tables(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median_value"),
+        count(lit(1)).as("event_count")),
+    None)
+
+  val all: Seq[Q] = Seq(q14Tumbling, q15Sessions, q16FirstTouch, q17JsonExtract,
+    q18Sliding, q19Sketches)
 
   /** True Structured Streaming path: parquet-directory source → watermarked
     * tumbling aggregation. Exercised by the streaming spec (file source +

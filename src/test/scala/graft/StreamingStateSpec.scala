@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Sessionize
+
+/** Stateful streaming: custom flatMapGroupsWithState sessionization and
+  * watermarked stream dedup, driven through real readStream file sources
+  * with incremental batches (the watermark only advances between batches).
+  */
+class StreamingStateSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def eventsDf(rows: Seq[(Long, String, Long, String, Double, String)]) =
+    rows.toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+
+  test("flatMapGroupsWithState sessionization emits on gap and on watermark timeout") {
+    val dir = Files.createTempDirectory("graft-sess").toFile.getAbsolutePath
+    // batch 1: user 10 has two sessions (gap > 30min); second session still open
+    eventsDf(Seq(
+      (1L, "2024-01-01 00:00:00", 10L, "click", 1.0, "{}"),
+      (2L, "2024-01-01 00:10:00", 10L, "click", 2.0, "{}"),
+      (3L, "2024-01-01 01:00:00", 10L, "view", 4.0, "{}")))
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val q = Sessionize.streamingSessions(spark, dir, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode("append").start()
+    q.processAllAvailable()
+
+    // batch 2: far-future event advances the watermark → open session times out
+    eventsDf(Seq((4L, "2024-01-01 09:00:00", 99L, "click", 0.5, "{}")))
+      .coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sessions_test")
+      .filter($"user_id" === 10)
+      .orderBy("session_start")
+      .collect()
+      .map(r => (r.getTimestamp(1).toString, r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01 00:00:00.0", 2L, 3.0),   // closed by the 01:00 gap
+      ("2024-01-01 01:00:00.0", 1L, 4.0)))  // closed by watermark timeout
+  }
+
+  test("dropDuplicatesWithinWatermark dedupes replays across batches") {
+    val dir = Files.createTempDirectory("graft-dedup").toFile.getAbsolutePath
+    eventsDf(Seq(
+      (1L, "2024-01-01 00:00:00", 10L, "click", 1.0, "{}"),
+      (2L, "2024-01-01 00:05:00", 11L, "view", 2.0, "{}")))
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val stream = spark.readStream
+      .schema(graft.sources.Tables.schemas("events"))
+      .parquet(dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = stream.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    q.processAllAvailable()
+
+    // batch 2 replays event 1 (within watermark) and adds a new event
+    eventsDf(Seq(
+      (1L, "2024-01-01 00:00:00", 10L, "click", 1.0, "{}"),
+      (3L, "2024-01-01 00:20:00", 12L, "click", 3.0, "{}")))
+      .coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("dedup_test").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L)) // replayed id 1 emitted once
+  }
+}
