@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.ScaleLayout
+import graft.sources.Tables
+
+class ScaleLayoutSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("co-bucketed tables join with zero shuffle exchanges") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      ScaleLayout.writeBucketed(
+        Tables(spark, TestSpark.sf0001, "lineitem"), "li_bucketed", "l_orderkey", 4)
+      ScaleLayout.writeBucketed(
+        Tables(spark, TestSpark.sf0001, "orders"), "ord_bucketed", "o_orderkey", 4)
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(!physical.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free co-located join, got:\n$physical")
+      assert(joined.count() == Tables(spark, TestSpark.sf0001, "lineitem").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("date-partitioned writes prune partitions on range predicates") {
+    val path = Files.createTempDirectory("graft-datepart").toString + "/events"
+    ScaleLayout.writeDatePartitioned(Tables(spark, TestSpark.sf0001, "events"), path, "ts")
+    val pruned = spark.read.parquet(path).filter(col("part_date") === "2024-01-01")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() > 0)
+    // partition filter must reach the scan, not a post-filter
+    assert(scan.contains("PartitionFilters") && scan.contains("part_date"))
+  }
+
+  test("salted join returns exactly the plain join's rows") {
+    val events = Tables(spark, TestSpark.sf0001, "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+    val users = events.select(col("user_id")).distinct()
+      .withColumn("tier", pmod(col("user_id"), lit(3)))
+    val plain = events.join(users, Seq("user_id"))
+      .select("user_id", "event_id", "tier")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val salted = ScaleLayout.saltedJoin(events, users, "user_id", salts = 4)
+      .select("user_id", "event_id", "tier")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(salted == plain)
+  }
+}
