@@ -302,9 +302,40 @@ object CoreQueries {
       |  COUNT(*) FILTER (o_orderstatus = 'P') AS status_p
       |FROM orders GROUP BY o_orderpriority""".stripMargin))
 
+  /** As-of join: each event matched to the user's most recent order at or
+    * before the event time (AsofJoin operator; oracle = DuckDB ASOF JOIN).
+    * Orders are pre-deduped to one per (custkey, ts) — ties would be
+    * carrier-order-dependent on both engines. */
+  val q29AsofJoin: Q = Q(
+    "q29_asof_join",
+    (s, dir) => {
+      val events = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val orders = Tables(s, dir, "orders")
+        // events.ts is TIMESTAMP (LTZ, from the nanos conversion) while
+        // parquet orders are NTZ — align so the union inside the as-of
+        // operator sees one timestamp type (UTC session ⇒ same instants)
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      AsofJoin.asofBackwardFlat(events, orders,
+          "user_id", "o_custkey", "ts", "o_orderdate",
+          Seq("o_orderkey" -> "last_orderkey", "o_orderdate" -> "last_order_ts"))
+        .withColumn("days_since_order", fracDays(col("ts"), col("last_order_ts")))
+    },
+    Some("""WITH o AS (
+      |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, e.ts, e.event_type,
+      |  o.o_orderkey AS last_orderkey, o.o_orderdate AS last_order_ts,
+      |  (epoch_us(e.ts) - epoch_us(o.o_orderdate)) / 86400000000.0 AS days_since_order
+      |FROM events e ASOF LEFT JOIN o
+      |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02SelectiveRevenue, q03JoinAgg, q04OrderEnrichment,
     q05PrimaryFlag, q06UnionDistinct, q07DimLocations, q08Master,
     q09ScalarNorm, q10TopKPerGroup, q11CustomerOrderSeq, q12TopOrders,
-    q13MonthlyRollup, q25MultiKeyNormJoin, q26SetOps, q27Rollup, q28Pivot)
+    q13MonthlyRollup, q25MultiKeyNormJoin, q26SetOps, q27Rollup, q28Pivot,
+    q29AsofJoin)
 }

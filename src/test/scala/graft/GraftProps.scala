@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.operators.{Aggregates, AsofJoin}
+
+/** Property-based invariants (SURVEY.md §5.3) on small generated relations.
+  * Sample counts are kept low — each case runs real Spark jobs. */
+object GraftProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val genRows: Gen[List[(Long, Double, String)]] =
+    Gen.nonEmptyListOf(for {
+      order <- Gen.choose(1L, 5L)
+      price <- Gen.choose(1, 10000).map(_ / 100.0) // 2-decimal money
+      flag <- Gen.oneOf("A", "N", "R")
+    } yield (order, price, flag)).map(_.take(30))
+
+  private def lineitems(rows: List[(Long, Double, String)]) =
+    rows.toDF("l_orderkey", "l_extendedprice", "l_returnflag")
+      .withColumn("l_discount", lit(0.0))
+      .withColumn("l_tax", lit(0.0))
+      .withColumn("l_quantity", lit(1.0))
+      .withColumn("l_shipdate", lit("2024-01-01").cast("timestamp"))
+
+  property("argmax winner's sum >= every group member's sum") = forAll(genRows) { rows =>
+    val df = lineitems(rows)
+    val winners = Aggregates.primaryFlag(df)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("primary_flag_revenue")).toMap
+    val perFlag = rows.groupBy(r => (r._1, r._3)).view
+      .mapValues(_.map(t => BigDecimal(t._2)).sum).toMap
+    perFlag.forall { case ((order, _), s) => BigDecimal(winners(order)) >= s - 0.0001 }
+  }
+
+  property("union+distinct is idempotent and dedup is a subset of input") = forAll(genRows) { rows =>
+    val df = lineitems(rows).select("l_orderkey", "l_returnflag")
+    val once = df.distinct()
+    val twice = df.unionByName(df).distinct()
+    val keys = rows.map(r => (r._1, r._3)).toSet
+    once.count() == twice.count() &&
+      once.collect().forall(r => keys.contains((r.getLong(0), r.getString(1))))
+  }
+
+  property("perOrderAll agrees with the three standalone aggregate builders") = forAll(genRows) { rows =>
+    val df = lineitems(rows)
+    val fused = Aggregates.perOrderAll(df)
+      .select("l_orderkey", "order_item_count", "order_revenue_dec", "primary_returnflag")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDecimal(2), r.getString(3))).toMap
+    val sep1 = Aggregates.perOrder(df)
+      .select("l_orderkey", "order_item_count", "order_revenue_dec")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    val sep2 = Aggregates.primaryFlag(df)
+      .select("l_orderkey", "primary_returnflag")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    fused.forall { case (k, (cnt, rev, flag)) =>
+      sep1(k)._1 == cnt && sep1(k)._2.compareTo(rev) == 0 && sep2(k) == flag
+    }
+  }
+
+  private val genAsof: Gen[(List[(Long, Long, Int)], List[(Long, Int, String)])] = for {
+    lefts <- Gen.listOfN(12, for {
+      k <- Gen.choose(1L, 3L); t <- Gen.choose(0, 100)
+    } yield (k, t.toLong, t))
+    rights <- Gen.listOfN(6, for {
+      k <- Gen.choose(1L, 3L); t <- Gen.choose(0, 100)
+    } yield (k, t, s"r$k-$t"))
+  } yield (lefts.zipWithIndex.map { case ((k, _, t), i) => (i.toLong, k, t) },
+    rights.distinctBy(r => (r._1, r._2)))
+
+  property("as-of join picks the max right time <= left time (vs brute force)") =
+    forAll(genAsof) { case (lefts, rights) =>
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      def t(m: Int) = new java.sql.Timestamp(base + m * 60000L)
+      val l = lefts.map { case (id, k, m) => (id, k, t(m)) }.toDF("id", "k", "t")
+      val r = rights.map { case (k, m, tag) => (k, t(m), tag) }.toDF("rk", "rt", "tag")
+      val got = AsofJoin.asofBackwardFlat(l, r, "k", "rk", "t", "rt", Seq("tag" -> "tag"))
+        .collect().map(row => row.getLong(0) -> Option(row.getString(3))).toMap
+      lefts.forall { case (id, k, m) =>
+        val expected = rights.filter(x => x._1 == k && x._2 <= m)
+          .sortBy(_._2).lastOption.map(_._3)
+        got(id) == expected
+      }
+    }
+}

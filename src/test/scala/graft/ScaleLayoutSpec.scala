@@ -13,6 +13,18 @@ class ScaleLayoutSpec extends AnyFunSuite {
   test("co-bucketed tables join with zero shuffle exchanges") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // a previous JVM's managed-table dirs survive while the in-memory
+    // catalog does not → LOCATION_ALREADY_EXISTS unless cleaned first
+    Seq("li_bucketed", "ord_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(dir)
+      }
+    }
     try {
       ScaleLayout.writeBucketed(
         Tables(spark, TestSpark.sf0001, "lineitem"), "li_bucketed", "l_orderkey", 4)
