@@ -332,10 +332,52 @@ object CoreQueries {
       |FROM events e ASOF LEFT JOIN o
       |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin))
 
+  /** Semi/anti joins (EXISTS / NOT EXISTS): customers with and without
+    * orders, tagged. Spark plans left_semi/left_anti — no row multiplication,
+    * build side carries only the join key. */
+  val q41SemiAnti: Q = Q(
+    "q41_semi_anti",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name")).withColumn("op", lit("has_orders"))
+        .unionByName(
+          c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+            .select(col("c_custkey"), col("c_name")).withColumn("op", lit("no_orders")))
+    },
+    Some("""SELECT c_custkey, c_name, 'has_orders' AS op FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+      |UNION ALL
+      |SELECT c_custkey, c_name, 'no_orders' AS op FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)""".stripMargin))
+
+  /** Bucketed range join (RangeJoin operator): events priced into value
+    * tiers, including an overlapping promo band (multi-match). Oracle is the
+    * plain theta join. */
+  val q42RangeJoin: Q = Q(
+    "q42_range_join",
+    (s, dir) => {
+      import s.implicits._
+      val tiers = Seq(
+        (0.0, 25.0, "small"), (25.0, 60.0, "mid"), (60.0, 1000.0, "large"),
+        (50.0, 150.0, "promo_band"))
+        .toDF("lo", "hi", "tier")
+      RangeJoin.bucketed(
+          Tables(s, dir, "events").select(col("event_id"), col("value")),
+          "value", tiers, "lo", "hi", bucketWidth = 25.0)
+        .select(col("event_id"), col("value"), col("tier"), col("lo"), col("hi"))
+    },
+    Some("""SELECT event_id, value, tier, lo, hi
+      |FROM events JOIN (VALUES
+      |  (0.0, 25.0, 'small'), (25.0, 60.0, 'mid'), (60.0, 1000.0, 'large'),
+      |  (50.0, 150.0, 'promo_band')) AS tiers(lo, hi, tier)
+      |  ON value >= lo AND value < hi""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02SelectiveRevenue, q03JoinAgg, q04OrderEnrichment,
     q05PrimaryFlag, q06UnionDistinct, q07DimLocations, q08Master,
     q09ScalarNorm, q10TopKPerGroup, q11CustomerOrderSeq, q12TopOrders,
     q13MonthlyRollup, q25MultiKeyNormJoin, q26SetOps, q27Rollup, q28Pivot,
-    q29AsofJoin)
+    q29AsofJoin, q41SemiAnti, q42RangeJoin)
 }

@@ -93,5 +93,50 @@ object SimilaritySearch {
     },
     None)
 
-  val all: Seq[Q] = Seq(q35BruteForceTopK, q36LshTopK)
+  /** q37 — IVF-style ANN: a coarse quantizer (here: per-label centroids,
+    * computed distributively via posexplode + per-dimension avg) partitions
+    * the corpus; each query probes its 2 nearest centroids and searches only
+    * those inverted lists. The probe join is broadcast (centroids are tiny);
+    * the list search shuffles on the centroid id. Double-mean centroids are
+    * aggregation-order-dependent → rows-only check; `SimilaritySpec` pins
+    * recall against the brute-force baseline. */
+  val q37IvfTopK: Q = Q(
+    "q37_ann_ivf",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), Similarity.toDoubleArray(col("embedding")).as("emb"))
+        .withColumn("nrm", Similarity.norm(col("emb")))
+      // centroid per label: elementwise mean (64 dims → tiny result)
+      val centroids = e
+        .select(col("label"), posexplode(col("emb")).as(Seq("d", "x")))
+        .groupBy(col("label"), col("d")).agg(avg(col("x")).as("cx"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))), s => s.getField("cx"))
+          .as("cemb"))
+        .withColumn("cnrm", Similarity.norm(col("cemb")))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+      // probe: 2 nearest centroids per query
+      val probed = queries.join(broadcast(centroids), lit(true))
+        .withColumn("c_cos", Similarity.cosinePre(
+          Similarity.dot(col("q_emb"), col("cemb")), col("q_nrm"), col("cnrm")))
+        .withColumn("c_rank", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("label").asc)))
+        .filter(col("c_rank") <= 2)
+        .select(col("q_id"), col("q_emb"), col("q_nrm"), col("label"))
+      // search only the probed inverted lists
+      probed.join(e, Seq("label"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", Similarity.cosinePre(
+          Similarity.dot(col("emb"), col("q_emb")), col("nrm"), col("q_nrm")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id").asc))
+          .cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("label").cast("long").as("probed_label"),
+          col("cosine"), col("rank"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(q35BruteForceTopK, q36LshTopK, q37IvfTopK)
 }

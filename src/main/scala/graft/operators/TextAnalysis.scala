@@ -180,5 +180,34 @@ object TextAnalysis {
       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
       |        FROM documents) raw) feat""".stripMargin))
 
-  val all: Seq[Q] = Seq(q20TextStats, q21TokenCount, q22LangId, q23Fingerprint, q24Quality)
+  /** q39 — winnowing fingerprints (the rolling-hash document-fingerprint
+    * scheme): hash every 8-char k-gram, slide a 4-position window, keep each
+    * window's minimum hash, distinct per doc. Codegen-friendly layout:
+    * posexplode the k-grams, windowed MIN over a 4-row frame (no interpreted
+    * array slicing). xxhash64-based → rows-only; determinism + dup-doc
+    * equality pinned in tests. */
+  val q39Winnowing: Q = Q(
+    "q39_winnowing",
+    (s, dir) => {
+      val k = 8
+      val w = 4
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, w - 1)
+      Tables(s, dir, "documents")
+        .repartition(col("doc_id"))
+        .filter(length(col("text")) >= k)
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(1), length(col("text")) - (k - 1)),
+            i => col("text").substr(i, lit(k)))).as(Seq("pos", "gram")))
+        .withColumn("h", xxhash64(col("gram")))
+        .withColumn("fp", min(col("h")).over(win))
+        .select(col("doc_id"), col("fp")).distinct()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("fp_count"), min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(q20TextStats, q21TokenCount, q22LangId, q23Fingerprint,
+    q24Quality, q39Winnowing)
 }

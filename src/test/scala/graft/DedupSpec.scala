@@ -31,6 +31,16 @@ class DedupSpec extends AnyFunSuite {
     assert(sh.size <= exact.size * 20 + 50, s"simhash too noisy: ${sh.size} pairs")
   }
 
+  test("winnowing fingerprints are deterministic and dense") {
+    import graft.operators.TextAnalysis
+    val a = TextAnalysis.q39Winnowing.run(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    val b = TextAnalysis.q39Winnowing.run(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(a == b)
+    assert(a.forall(_._2 > 0)) // every doc ≥8 chars yields fingerprints
+  }
+
   test("exact dedup clusters cover all docs exactly once") {
     val df = Dedup.q30ExactDedup.run(spark, TestSpark.sf0001)
     val total = df.agg(org.apache.spark.sql.functions.sum("cluster_size")).head().getLong(0)

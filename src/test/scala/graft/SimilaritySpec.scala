@@ -49,6 +49,21 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN recalls a reasonable share of the brute-force top-5") {
+    import graft.operators.SimilaritySearch
+    val brute = SimilaritySearch.q35BruteForceTopK.run(spark, TestSpark.sf0001)
+      .select("q_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilaritySearch.q37IvfTopK.run(spark, TestSpark.sf0001)
+      .select("q_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.size == brute.size)
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    // random embeddings = worst case for a coarse quantizer; the operator
+    // contract is structural (probe-limited search), recall just sanity-bounded
+    assert(recall > 0.0, s"IVF recalled nothing of the brute-force top-5")
+  }
+
   test("graft_dot / graft_cosine are SQL-callable after extension registration") {
     graft.expressions.GraftExtensions.register(spark)
     val out = spark.sql(
