@@ -14,6 +14,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotEntry)
     ext.injectFunction(GraftExtensions.cosineEntry)
+    // HOF dot-product pattern → native codegen expression (bit-exact)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteHofVectorOps)
   }
 }
 

@@ -64,6 +64,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.0, s"IVF recalled nothing of the brute-force top-5")
   }
 
+  test("optimizer rule rewrites the HOF dot pattern to the native expression, bit-exact") {
+    val prev = spark.experimental.extraOptimizations
+    // a real scan, so constant folding can't pre-evaluate the projection
+    def query() = graft.sources.Tables(spark, TestSpark.sf0001, "embeddings")
+      .limit(20)
+      .select(col("vec_id"),
+        Similarity.dotHof(
+          Similarity.toDoubleArray(col("embedding")),
+          Similarity.toDoubleArray(col("embedding"))).as("d"))
+    spark.experimental.extraOptimizations = prev :+ graft.plans.RewriteHofVectorOps
+    val (rewrittenPlan, rewritten) =
+      try {
+        val df = query()
+        (df.queryExecution.optimizedPlan.toString,
+          df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq.sorted)
+      } finally spark.experimental.extraOptimizations = prev
+    assert(rewrittenPlan.contains("graft_dot"), s"HOF pattern not rewritten:\n$rewrittenPlan")
+    val interpreted = query().collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq.sorted
+    assert(rewritten == interpreted)
+  }
+
+  test("DotProduct reproduces HOF NULL semantics on ragged and null-element arrays") {
+    val df = Seq(
+      (Array[java.lang.Double](1.0, 2.0), Array[java.lang.Double](1.0)),        // ragged
+      (Array[java.lang.Double](1.0, null), Array[java.lang.Double](1.0, 2.0)),  // null elem
+      (Array[java.lang.Double](1.0, 2.0), Array[java.lang.Double](3.0, 4.0)))   // clean
+      .toDF("a", "b")
+    val native = df.select(Similarity.dot(col("a"), col("b"))).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val hof = df.select(Similarity.dotHof(col("a"), col("b"))).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(native.toSeq == hof.toSeq)
+    assert(native.toSeq == Seq(None, None, Some(11.0)))
+  }
+
   test("graft_dot / graft_cosine are SQL-callable after extension registration") {
     graft.expressions.GraftExtensions.register(spark)
     val out = spark.sql(
