@@ -81,6 +81,16 @@ class OlistPipelineSpec extends AnyFunSuite {
   private lazy val master = spark.read.parquet(s"$lake/master_table.parquet").cache()
   private lazy val dim = spark.read.parquet(s"$lake/dim_locations.parquet").cache()
 
+  test("inferred-schema CSV read (main.py:49 fidelity) types numerics and keeps strings") {
+    val src = Files.createTempDirectory("olist-infer").toString
+    writeFixtures(src)
+    val df = graft.sources.Tables.csvInferred(spark, s"$src/olist_order_items_dataset.csv")
+    val types = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("price") == "double" && types("order_item_id") == "int")
+    assert(types("order_id") == "string")
+    assert(df.count() == 3)
+  }
+
   test("dim_locations: union→dedup→dropna, dict miss → NULL, dense deterministic keys") {
     val rows = dim.collect()
     // 3 zips survive: 01310, 20000, 99999 (null-zip row dropped, dup deduped)
