@@ -57,6 +57,33 @@ object Multimodal {
       }
   }
 
+  /** Typed frame row for the video-style frame-sampling path. */
+  final case class FrameFeature(
+      doc_id: Long, frame_idx: Long, frame_md5: String, mean_byte: Double)
+
+  /** Frame sampling: one input blob → N frame feature rows (iterator-out
+    * cardinality change, the flatMap batch shape a video decoder needs).
+    * The STUB splits the payload into fixed-size windows standing in for
+    * decoded frames; a real codec would seek keyframes. */
+  def sampleFrames(spark: SparkSession, docsWithData: DataFrame, frameBytes: Int = 64,
+      maxFrames: Int = 8): Dataset[FrameFeature] = {
+    import spark.implicits._
+    docsWithData.select(col("doc_id"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init (codec handle) would go here
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, bytes) =>
+          bytes.grouped(frameBytes).take(maxFrames).zipWithIndex.map { case (frame, i) =>
+            val sum = frame.foldLeft(0L)((s, b) => s + (b & 0xff))
+            FrameFeature(id, i.toLong,
+              md.digest(frame).map("%02x".format(_)).mkString,
+              if (frame.isEmpty) 0.0 else sum.toDouble / frame.length)
+          }
+        }
+      }
+  }
+
   /** q40 — the declarative slice of the media pipeline (binary length, content
     * hash, fake-decoded dimensions) so the plumbing is oracle-checkable; the
     * mapPartitions path is exercised by the ScalaTest spec. */

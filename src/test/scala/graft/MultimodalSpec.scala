@@ -10,6 +10,17 @@ class MultimodalSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  test("frame sampling flatMaps one blob into bounded per-frame rows") {
+    val docs = Seq((1L, "x" * 200, 200L), (2L, "ab", 2L))
+      .toDF("doc_id", "text", "n_chars")
+    val frames = Multimodal.sampleFrames(spark, Multimodal.attachBinary(docs),
+        frameBytes = 64, maxFrames = 3)
+      .collect().groupBy(_.doc_id)
+    assert(frames(1L).length == 3)            // 200 bytes → 4 windows, capped at 3
+    assert(frames(1L).map(_.frame_idx).sorted.toSeq == Seq(0L, 1L, 2L))
+    assert(frames(2L).length == 1 && frames(2L).head.mean_byte == (97 + 98) / 2.0)
+  }
+
   test("decodeFeatures (mapPartitions) matches the declarative feature slice") {
     val docs = Seq((1L, "hello world", 11L), (2L, "abc", 3L))
       .toDF("doc_id", "text", "n_chars")

@@ -48,6 +48,34 @@ class StreamingStateSpec extends AnyFunSuite {
       ("2024-01-01 01:00:00.0", 1L, 4.0)))  // closed by watermark timeout
   }
 
+  test("checkpointed parquet sink recovers exactly-once across query restarts") {
+    val src = Files.createTempDirectory("graft-ck-src").toFile.getAbsolutePath
+    val sink = Files.createTempDirectory("graft-ck-sink").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft-ck-state").toFile.getAbsolutePath
+
+    def start() = spark.readStream
+      .schema(graft.sources.Tables.schemas("events"))
+      .parquet(src)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    eventsDf(Seq(
+      (1L, "2024-01-01 00:00:00", 10L, "click", 1.0, "{}"),
+      (2L, "2024-01-01 00:05:00", 11L, "view", 2.0, "{}")))
+      .coalesce(1).write.mode("append").parquet(src)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+
+    // restart from the checkpoint; only the new file may be emitted
+    eventsDf(Seq((3L, "2024-01-01 00:10:00", 12L, "click", 3.0, "{}")))
+      .coalesce(1).write.mode("append").parquet(src)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    val ids = spark.read.parquet(sink).select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L)) // no replays, nothing lost
+  }
+
   test("dropDuplicatesWithinWatermark dedupes replays across batches") {
     val dir = Files.createTempDirectory("graft-dedup").toFile.getAbsolutePath
     eventsDf(Seq(
