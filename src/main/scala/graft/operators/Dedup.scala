@@ -40,11 +40,22 @@ object Dedup {
       .persist()
 
   /** All-pairs exact word-3-gram Jaccard via shingle equi-join (no cross
-    * join: only docs sharing a shingle ever meet). */
-  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    * join: only docs sharing a shingle ever meet).
+    *
+    * Skew guard: shingles appearing in more than `maxDocFreq` docs are
+    * excluded from the pair join — a head shingle shared by d docs emits
+    * d²/2 pair rows, the one quadratic term in this plan. The cap bounds it
+    * at |shingles|·maxDocFreq²/2. Denominators keep the FULL distinct
+    * shingle counts, so `jaccard` is then a lower bound for docs containing
+    * hot shingles. At test scale (max df = 25 on sf0.1) the cap is a no-op
+    * and the DuckDB oracle mirrors it verbatim. */
+  def jaccardPairs(spark: SparkSession, dir: String, maxDocFreq: Int = 1000): DataFrame = {
     val ex = shingled(spark, dir)
-    val a = ex.toDF("doc_a", "na", "shingle")
-    val b = ex.toDF("doc_b", "nb", "shingle_b")
+    val rare = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq).select(col("shingle"))
+    val exRare = ex.join(rare, Seq("shingle"))
+    val a = exRare.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("shingle"))
+    val b = exRare.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("shingle").as("shingle_b"))
     a.join(b, col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("common"))
@@ -83,10 +94,14 @@ object Dedup {
       |ex AS (
       |  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
       |  FROM sh WHERE len(shingles) > 0),
+      |rare AS (
+      |  SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 1000),
+      |exr AS (
+      |  SELECT ex.doc_id, ex.n_sh, ex.shingle FROM ex JOIN rare USING (shingle)),
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
       |         COUNT(*) AS common
-      |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  FROM exr a JOIN exr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2, 3, 4)
       |SELECT doc_a, doc_b, common,
       |  CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
