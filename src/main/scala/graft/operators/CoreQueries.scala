@@ -374,10 +374,100 @@ object CoreQueries {
       |  (50.0, 150.0, 'promo_band')) AS tiers(lo, hi, tier)
       |  ON value >= lo AND value < hi""".stripMargin))
 
+  /** Funnel analysis over the event stream: signup → first subsequent
+    * purchase per user, with conversion latency. Window carries the first
+    * signup ts to every row; conditional aggregation finds the first
+    * qualifying purchase — no self-join. */
+  val q43Funnel: Q = Q(
+    "q43_funnel",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+      Tables(s, dir, "events")
+        .withColumn("first_signup_ts",
+          min(when(col("event_type") === "signup", col("ts"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(
+          max(col("first_signup_ts")).as("first_signup_ts"),
+          min(when(col("event_type") === "purchase" && col("ts") > col("first_signup_ts"),
+            col("ts"))).as("first_purchase_after"))
+        .withColumn("converted",
+          when(col("first_signup_ts").isNotNull, col("first_purchase_after").isNotNull)
+            .otherwise(lit(null).cast("boolean")))
+        .withColumn("conversion_days",
+          fracDays(col("first_purchase_after"), col("first_signup_ts")))
+    },
+    Some("""WITH flagged AS (
+      |  SELECT user_id, ts, event_type,
+      |    MIN(CASE WHEN event_type = 'signup' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS first_signup_ts
+      |  FROM events)
+      |SELECT user_id,
+      |  MAX(first_signup_ts) AS first_signup_ts,
+      |  MIN(CASE WHEN event_type = 'purchase' AND ts > first_signup_ts THEN ts END)
+      |    AS first_purchase_after,
+      |  CASE WHEN MAX(first_signup_ts) IS NOT NULL
+      |       THEN MIN(CASE WHEN event_type = 'purchase' AND ts > first_signup_ts THEN ts END)
+      |            IS NOT NULL
+      |       ELSE NULL END AS converted,
+      |  (epoch_us(MIN(CASE WHEN event_type = 'purchase' AND ts > first_signup_ts THEN ts END))
+      |    - epoch_us(MAX(first_signup_ts))) / 86400000000.0 AS conversion_days
+      |FROM flagged GROUP BY user_id""".stripMargin))
+
+  /** Cohort retention: users grouped by first-activity month, distinct
+    * active users per (cohort, activity month) — two stacked aggregations,
+    * both keyed on user/month. */
+  val q44CohortRetention: Q = Q(
+    "q44_cohort_retention",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val cohorts = ev.groupBy(col("user_id"))
+        .agg(date_trunc("month", min(col("ts"))).as("cohort_month"))
+      val activity = ev.select(col("user_id"),
+        date_trunc("month", col("ts")).as("activity_month")).distinct()
+      activity.join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort_month"), col("activity_month"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .withColumn("months_since_cohort",
+          months_between(col("activity_month"), col("cohort_month")).cast("long"))
+    },
+    Some("""WITH cohorts AS (
+      |  SELECT user_id, date_trunc('month', MIN(ts)) AS cohort_month
+      |  FROM events GROUP BY user_id),
+      |activity AS (
+      |  SELECT DISTINCT user_id, date_trunc('month', ts) AS activity_month FROM events)
+      |SELECT CAST(cohort_month AS TIMESTAMP) AS cohort_month,
+      |  CAST(activity_month AS TIMESTAMP) AS activity_month,
+      |  COUNT(DISTINCT user_id) AS active_users,
+      |  CAST(datediff('month', cohort_month, activity_month) AS BIGINT) AS months_since_cohort
+      |FROM activity JOIN cohorts USING (user_id)
+      |GROUP BY cohort_month, activity_month""".stripMargin))
+
+  /** Data-quality profile of the orders table (Checks.profile): per-column
+    * null and exact distinct counts as rows. */
+  val q45Profile: Q = Q(
+    "q45_profile",
+    (s, dir) => Checks.profile(Tables(s, dir, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")),
+    Some("""SELECT 'o_orderkey' AS column_name,
+      |  COUNT(*) FILTER (o_orderkey IS NULL) AS null_count,
+      |  COUNT(DISTINCT o_orderkey) AS distinct_count FROM orders
+      |UNION ALL SELECT 'o_custkey', COUNT(*) FILTER (o_custkey IS NULL),
+      |  COUNT(DISTINCT o_custkey) FROM orders
+      |UNION ALL SELECT 'o_orderstatus', COUNT(*) FILTER (o_orderstatus IS NULL),
+      |  COUNT(DISTINCT o_orderstatus) FROM orders
+      |UNION ALL SELECT 'o_totalprice', COUNT(*) FILTER (o_totalprice IS NULL),
+      |  COUNT(DISTINCT o_totalprice) FROM orders
+      |UNION ALL SELECT 'o_orderdate', COUNT(*) FILTER (o_orderdate IS NULL),
+      |  COUNT(DISTINCT o_orderdate) FROM orders
+      |UNION ALL SELECT 'o_orderpriority', COUNT(*) FILTER (o_orderpriority IS NULL),
+      |  COUNT(DISTINCT o_orderpriority) FROM orders""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02SelectiveRevenue, q03JoinAgg, q04OrderEnrichment,
     q05PrimaryFlag, q06UnionDistinct, q07DimLocations, q08Master,
     q09ScalarNorm, q10TopKPerGroup, q11CustomerOrderSeq, q12TopOrders,
     q13MonthlyRollup, q25MultiKeyNormJoin, q26SetOps, q27Rollup, q28Pivot,
-    q29AsofJoin, q41SemiAnti, q42RangeJoin)
+    q29AsofJoin, q41SemiAnti, q42RangeJoin, q43Funnel, q44CohortRetention,
+    q45Profile)
 }

@@ -55,31 +55,34 @@ object SimilaritySearch {
       |  FROM scored) r
       |WHERE rank <= 5""".stripMargin))
 
-  /** q36 — LSH-bucketed ANN: 4 deterministic pseudo-random hyperplanes
-    * (coefficients derived from xxhash64 of (plane, dim)) give a 4-bit
-    * sign code; neighbors are searched only within the query's bucket.
-    * Spark-hash-derived planes → rows-only check. */
+  /** The 4 sign-projection hyperplanes for q36, as explicit constants so the
+    * SAME coefficient literals appear in the Spark plan and the generated
+    * oracle SQL (Double.toString round-trips, so both engines parse the
+    * identical double and the sequential dot products match bitwise). */
+  private[operators] val lshPlanes: Seq[Array[Double]] =
+    (0 until 4).map { p =>
+      Array.tabulate(64)(d => ((((d + 1) * (2 * p + 3)) % 7) - 3) / 3.0)
+    }
+
+  /** q36 — LSH-bucketed ANN: 4 fixed hyperplanes give a 4-bit sign code;
+    * neighbors are searched only within the query's bucket (a bucket
+    * equi-join — the 100 TB path vs the brute cross product). Fully
+    * oracle-checked thanks to the literal planes. */
   val q36LshTopK: Q = Q(
     "q36_ann_lsh",
     (s, dir) => {
-      val planes = 4
-      def planeCoef(p: Int) =
-        transform(sequence(lit(0), lit(63)),
-          d => (pmod(xxhash64(lit(p), d), lit(1000)).cast("double") / 1000.0) - 0.5)
       def code(embCol: org.apache.spark.sql.Column) =
-        (0 until planes).map { p =>
-          val proj = aggregate(zip_with(embCol, planeCoef(p), (x, c) => x * c),
-            lit(0.0), (acc, x) => acc + x)
-          when(proj > 0, lit(1 << p)).otherwise(lit(0))
+        lshPlanes.zipWithIndex.map { case (plane, p) =>
+          when(Similarity.dot(embCol, typedLit(plane)) > 0, lit(1 << p)).otherwise(lit(0))
         }.reduce(_ + _)
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), Similarity.toDoubleArray(col("embedding")).as("emb"))
         .withColumn("nrm", Similarity.norm(col("emb")))
         .withColumn("bucket", code(col("emb")))
-      val queries = e.select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
-        col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
-        .filter(col("q_id") < 8)
-      e.join(broadcast(queries),
+      val qside = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+          col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
+      e.join(broadcast(qside),
           col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
         .withColumn("cosine",
           Similarity.cosinePre(Similarity.dot(col("emb"), col("q_emb")),
@@ -91,7 +94,29 @@ object SimilaritySearch {
         .select(col("q_id"), col("vec_id").as("neighbor_id"), col("bucket").cast("long").as("bucket"),
           col("cosine"), col("rank"))
     },
-    None)
+    Some {
+      def planeSql(plane: Array[Double]) = plane.mkString("[", ", ", "]")
+      val bucketSql = lshPlanes.zipWithIndex.map { case (plane, p) =>
+        s"(CASE WHEN list_dot_product(emb, ${planeSql(plane)}) > 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, emb, nrm, $bucketSql AS bucket FROM e),
+         |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm, bucket AS q_bucket
+         |      FROM b WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q.q_id, b.vec_id AS neighbor_id, CAST(b.bucket AS BIGINT) AS bucket,
+         |         list_dot_product(b.emb, q.q_emb) / (b.nrm * q.q_nrm) AS cosine
+         |  FROM b JOIN q ON b.bucket = q.q_bucket AND b.vec_id <> q.q_id)
+         |SELECT q_id, neighbor_id, bucket, cosine, rank FROM (
+         |  SELECT q_id, neighbor_id, bucket, cosine,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |           ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+         |  FROM scored) r
+         |WHERE rank <= 5""".stripMargin
+    })
 
   /** q37 — IVF-style ANN: a coarse quantizer (here: per-label centroids,
     * computed distributively via posexplode + per-dimension avg) partitions
