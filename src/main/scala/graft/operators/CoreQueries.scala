@@ -463,11 +463,30 @@ object CoreQueries {
       |UNION ALL SELECT 'o_orderpriority', COUNT(*) FILTER (o_orderpriority IS NULL),
       |  COUNT(DISTINCT o_orderpriority) FROM orders""".stripMargin))
 
+  /** The SQL-string entry point (spark.sql over registered views) — the
+    * other half of the API surface; same Catalyst plan as the DataFrame
+    * formulation. */
+  val q46SqlApi: Q = Q(
+    "q46_sql_api",
+    (s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS order_count,
+              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+              |FROM orders_v
+              |GROUP BY o_orderpriority, o_orderstatus
+              |HAVING COUNT(*) > 10""".stripMargin)
+    },
+    Some("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS order_count,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY o_orderpriority, o_orderstatus
+      |HAVING COUNT(*) > 10""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02SelectiveRevenue, q03JoinAgg, q04OrderEnrichment,
     q05PrimaryFlag, q06UnionDistinct, q07DimLocations, q08Master,
     q09ScalarNorm, q10TopKPerGroup, q11CustomerOrderSeq, q12TopOrders,
     q13MonthlyRollup, q25MultiKeyNormJoin, q26SetOps, q27Rollup, q28Pivot,
     q29AsofJoin, q41SemiAnti, q42RangeJoin, q43Funnel, q44CohortRetention,
-    q45Profile)
+    q45Profile, q46SqlApi)
 }

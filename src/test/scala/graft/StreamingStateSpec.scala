@@ -48,6 +48,35 @@ class StreamingStateSpec extends AnyFunSuite {
       ("2024-01-01 01:00:00.0", 1L, 4.0)))  // closed by watermark timeout
   }
 
+  test("watermarked stream-stream join pairs purchases within 30min of a click") {
+    val dir = Files.createTempDirectory("graft-ssj").toFile.getAbsolutePath
+    eventsDf(Seq(
+      (1L, "2024-01-01 00:00:00", 10L, "click", 1.0, "{}"),
+      (2L, "2024-01-01 00:10:00", 10L, "purchase", 9.0, "{}"),   // within 30m of click 1
+      (3L, "2024-01-01 02:00:00", 10L, "purchase", 5.0, "{}"),   // too late for click 1
+      (4L, "2024-01-01 00:05:00", 11L, "purchase", 2.0, "{}")))  // other user, no click
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    def stream() = spark.readStream
+      .schema(graft.sources.Tables.schemas("events")).parquet(dir)
+    val clicks = stream().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = stream().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"))
+
+    val q = joined.writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val pairs = spark.table("ssj_test").select("c_id", "p_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("checkpointed parquet sink recovers exactly-once across query restarts") {
     val src = Files.createTempDirectory("graft-ck-src").toFile.getAbsolutePath
     val sink = Files.createTempDirectory("graft-ck-sink").toFile.getAbsolutePath
