@@ -16,6 +16,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineEntry)
     // HOF dot-product pattern → native codegen expression (bit-exact)
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofVectorOps)
+    // physical planning for the custom TopKPerGroup logical operator
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
 

@@ -482,11 +482,26 @@ object CoreQueries {
       |GROUP BY o_orderpriority, o_orderstatus
       |HAVING COUNT(*) > 10""".stripMargin))
 
+  /** The custom physical top-k operator (graft.plans.TopKPerGroup): same
+    * semantics as q10's window formulation but executed with bounded heaps
+    * and a partial/final stage pair — shuffle carries ≤k rows per group per
+    * map partition. Oracle-checked against the declarative SQL. */
+  val q47TopKNative: Q = Q(
+    "q47_topk_native",
+    (s, dir) => graft.plans.TopK.perGroup(
+      Tables(s, dir, "part"), Seq("p_brand"),
+      Seq("p_retailprice" -> false, "p_partkey" -> true), 3),
+    Some("""SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand
+      |        ORDER BY p_retailprice DESC, p_partkey ASC) AS rk
+      |      FROM part) t
+      |WHERE rk <= 3""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02SelectiveRevenue, q03JoinAgg, q04OrderEnrichment,
     q05PrimaryFlag, q06UnionDistinct, q07DimLocations, q08Master,
     q09ScalarNorm, q10TopKPerGroup, q11CustomerOrderSeq, q12TopOrders,
     q13MonthlyRollup, q25MultiKeyNormJoin, q26SetOps, q27Rollup, q28Pivot,
     q29AsofJoin, q41SemiAnti, q42RangeJoin, q43Funnel, q44CohortRetention,
-    q45Profile, q46SqlApi)
+    q45Profile, q46SqlApi, q47TopKNative)
 }
