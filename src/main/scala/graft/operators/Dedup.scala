@@ -63,6 +63,90 @@ object Dedup {
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
   }
 
+  /** Min-label connected components over an undirected edge list — the
+    * endpoint of near-dup detection: pairs → clusters → one survivor per
+    * cluster. Label propagation to fixpoint: each vertex takes the min
+    * label in its neighborhood; converges in O(diameter) rounds. The driver
+    * loop only checks a changed-count per round (the data never leaves the
+    * cluster); localCheckpoint truncates the growing lineage. At 100 TB
+    * scale the same loop runs with edges pre-partitioned by src. */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = sym.join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      val updated = labels
+        .join(nbrMin.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"))
+        .localCheckpoint()
+      changed = updated.filter(col("new_label") < col("label")).count()
+      labels = updated.select(col("doc_id"), col("new_label").as("label"))
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_rep"))
+  }
+
+  /** Shared SQL generator so q31 and q48 embed the identical Jaccard-pair
+    * oracle at their respective thresholds. */
+  private[operators] def jaccardPairsOracle(threshold: Double): String =
+    raw"""toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                   FOR i IN range(1, greatest(len(w) - 1, 1))]) AS shingles
+       |  FROM toks),
+       |ex AS (
+       |  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+       |  FROM sh WHERE len(shingles) > 0),
+       |rare AS (
+       |  SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 1000),
+       |exr AS (
+       |  SELECT ex.doc_id, ex.n_sh, ex.shingle FROM ex JOIN rare USING (shingle)),
+       |pairs_all AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+       |         COUNT(*) AS common
+       |  FROM exr a JOIN exr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4),
+       |pairs AS (
+       |  SELECT doc_a, doc_b, common,
+       |    CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+       |  FROM pairs_all
+       |  WHERE CAST(common AS DOUBLE) / (na + nb - common) >= $threshold)""".stripMargin
+
+  /** q48 — near-dup clustering: Jaccard ≥ 0.5 pairs → connected components
+    * → (doc, cluster representative, cluster size). Oracle computes the same
+    * min-label components with a recursive CTE. */
+  val q48DedupClusters: Q = Q(
+    "q48_dedup_clusters",
+    (s, dir) => {
+      val edges = jaccardPairs(s, dir).filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      connectedComponents(edges)
+        .withColumn("cluster_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_rep"))))
+    },
+    Some(s"""WITH RECURSIVE ${jaccardPairsOracle(0.5)},
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS doc FROM edges),
+       |reach(doc, r) AS (
+       |  SELECT doc, doc FROM nodes
+       |  UNION
+       |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.doc),
+       |labeled AS (
+       |  SELECT doc AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY doc)
+       |SELECT doc_id, cluster_rep,
+       |  CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
+       |FROM labeled""".stripMargin))
+
   /** q30 — exact dedup: md5-hash groupBy, min-doc survivor, cluster size
     * (the A7 distinct dedup generalized to content hashing). */
   val q30ExactDedup: Q = Q(
@@ -84,29 +168,8 @@ object Dedup {
     (s, dir) => jaccardPairs(s, dir)
       .filter(col("jaccard") >= 0.1)
       .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard")),
-    Some("""WITH toks AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
-      |sh AS (
-      |  SELECT doc_id,
-      |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-      |                   FOR i IN range(1, greatest(len(w) - 1, 1))]) AS shingles
-      |  FROM toks),
-      |ex AS (
-      |  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
-      |  FROM sh WHERE len(shingles) > 0),
-      |rare AS (
-      |  SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 1000),
-      |exr AS (
-      |  SELECT ex.doc_id, ex.n_sh, ex.shingle FROM ex JOIN rare USING (shingle)),
-      |pairs AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
-      |         COUNT(*) AS common
-      |  FROM exr a JOIN exr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2, 3, 4)
-      |SELECT doc_a, doc_b, common,
-      |  CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
-      |FROM pairs
-      |WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.1""".stripMargin))
+    Some(s"""WITH ${jaccardPairsOracle(0.1)}
+      |SELECT doc_a, doc_b, common, jaccard FROM pairs""".stripMargin))
 
   /** q32 — MinHash + LSH banding: 16 seeded xxhash64 min-hashes per doc,
     * 4 bands × 4 rows; docs sharing any band hash become candidates; exact
@@ -208,5 +271,5 @@ object Dedup {
       |WHERE list_dot_product(a.emb, b.emb) /
       |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.35""".stripMargin))
 
-  val all: Seq[Q] = Seq(q30ExactDedup, q31NgramJaccard, q32MinHashLsh, q33SimHash, q34EmbeddingDups)
+  val all: Seq[Q] = Seq(q30ExactDedup, q31NgramJaccard, q32MinHashLsh, q33SimHash, q34EmbeddingDups, q48DedupClusters)
 }
