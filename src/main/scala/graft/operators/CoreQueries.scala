@@ -180,7 +180,8 @@ object CoreQueries {
         lead(col("o_orderdate"), 1).over(w).as("next_order_ts"),
         sum(money(col("o_totalprice")))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("double").as("running_spend"))
+          .cast("double").as("running_spend"),
+        ntile(4).over(w).cast("long").as("order_quartile"))
     },
     Some("""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
       |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
@@ -188,7 +189,8 @@ object CoreQueries {
       |  LEAD(o_orderdate, 1) OVER w AS next_order_ts,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER
       |    (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+      |  CAST(NTILE(4) OVER w AS BIGINT) AS order_quartile
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin))
 

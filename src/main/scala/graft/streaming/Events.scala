@@ -140,8 +140,74 @@ object Events {
         count(lit(1)).as("event_count")),
     None)
 
+  /** Mergeable HLL sketches (Apache DataSketches built-ins): per-type
+    * sketches estimated locally, then UNIONED into a global estimate — the
+    * reaggregation property that makes 100 TB distinct counts cheap
+    * (pre-aggregated sketches per partition/day merge without rescanning).
+    * Engine-specific binary sketches → rows-only; EventsSpec bounds the
+    * error vs exact. */
+  val q49HllUnion: Q = Q(
+    "q49_hll_union",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val perType = ev.groupBy(col("event_type")).agg(
+        hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("exact_users"))
+      val typed = perType.select(col("event_type"), col("exact_users"),
+        round(hll_sketch_estimate(col("sk"))).cast("long").as("hll_users"))
+      val overall = perType.agg(
+          round(hll_sketch_estimate(hll_union_agg(col("sk")))).cast("long").as("hll_users"))
+        .crossJoin(ev.agg(countDistinct(col("user_id")).as("exact_users")))
+        .select(lit("__all__").as("event_type"), col("exact_users"), col("hll_users"))
+      typed.unionByName(overall)
+    },
+    None)
+
+  /** Stratified sampling (training-data subsampling): per-stratum fractions
+    * with a fixed seed. Sampling is engine-specific → rows-only; the spec
+    * asserts per-stratum proportions. */
+  val q50StratifiedSample: Q = Q(
+    "q50_stratified_sample",
+    (s, dir) => Tables(s, dir, "events")
+      .stat.sampleBy("event_type",
+        Map("click" -> 0.5, "view" -> 0.25, "purchase" -> 1.0), 42L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("sampled_rows")),
+    None)
+
+  /** Value histogram: fixed-width bins with per-bin stats (floor-division
+    * binning is engine-portable, unlike width_bucket). */
+  val q51Histogram: Q = Q(
+    "q51_histogram",
+    (s, dir) => Tables(s, dir, "events")
+      .groupBy(floor(col("value") / 50).cast("long").as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("bin_min"),
+        max(col("value")).as("bin_max"),
+        (sum(col("value").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("bin_avg")),
+    Some("""SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
+      |  COUNT(*) AS n, MIN(value) AS bin_min, MAX(value) AS bin_max,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS bin_avg
+      |FROM events GROUP BY 1""".stripMargin))
+
+  /** Regex field extraction (log-parsing shape): numeric suffix of `source`
+    * in documents, rolled up. */
+  val q52RegexParse: Q = Q(
+    "q52_regex_parse",
+    (s, dir) => Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_extract(col("source"), "([0-9]+)$", 1).cast("long").as("src_num"),
+        col("lang"))
+      .groupBy(col("src_num"))
+      .agg(count(lit(1)).as("docs"), countDistinct(col("lang")).as("langs")),
+    Some("""SELECT CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) AS src_num,
+      |  COUNT(*) AS docs, COUNT(DISTINCT lang) AS langs
+      |FROM documents GROUP BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(q14Tumbling, q15Sessions, q16FirstTouch, q17JsonExtract,
-    q18Sliding, q19Sketches)
+    q18Sliding, q19Sketches, q49HllUnion, q50StratifiedSample, q51Histogram,
+    q52RegexParse)
 
   /** True Structured Streaming path: parquet-directory source → watermarked
     * tumbling aggregation. Exercised by the streaming spec (file source +

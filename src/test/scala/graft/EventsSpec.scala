@@ -27,6 +27,28 @@ class EventsSpec extends AnyFunSuite {
       || out.toSeq == Seq((1L, 1L, 3.0), (1L, 2L, 3.0), (2L, 1L, 4.0)))
   }
 
+  test("HLL union estimates stay within 5% of exact distinct counts") {
+    val rows = graft.streaming.Events.q49HllUnion.run(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.exists(_._1 == "__all__"))
+    rows.foreach { case (t, exact, hll) =>
+      assert(math.abs(hll - exact).toDouble / exact <= 0.05, s"$t: exact=$exact hll=$hll")
+    }
+  }
+
+  test("stratified sample respects per-stratum fractions") {
+    val totals = graft.sources.Tables(spark, TestSpark.sf0001, "events")
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = graft.streaming.Events.q50StratifiedSample.run(spark, TestSpark.sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sampled("purchase") == totals("purchase")) // fraction 1.0 = exact
+    val clickRatio = sampled("click").toDouble / totals("click")
+    assert(clickRatio > 0.3 && clickRatio < 0.7, s"click ratio $clickRatio vs 0.5")
+    assert(!sampled.contains("signup") || sampled.get("signup").isEmpty ||
+      sampled("signup") == 0L) // unlisted strata are dropped by sampleBy
+  }
+
   test("streaming tumbling agg (readStream + watermark) matches batch result") {
     val dir = Files.createTempDirectory("graft-stream").toFile
     val data = Seq(
