@@ -91,6 +91,17 @@ class OlistPipelineSpec extends AnyFunSuite {
     assert(df.count() == 3)
   }
 
+  test("pipeline re-run is idempotent (the reference's if_exists='replace' parity)") {
+    val before = master.orderBy("order_id", "order_item_id").collect().map(_.toString).toSeq
+    // second full run over the same lake dir must overwrite to identical state
+    val src2 = Files.createTempDirectory("olist-src2").toString
+    writeFixtures(src2)
+    OlistPipeline.runPipeline(spark, src2, lake)
+    val after = spark.read.parquet(s"$lake/master_table.parquet")
+      .orderBy("order_id", "order_item_id").collect().map(_.toString).toSeq
+    assert(after == before)
+  }
+
   test("dim_locations: union→dedup→dropna, dict miss → NULL, dense deterministic keys") {
     val rows = dim.collect()
     // 3 zips survive: 01310, 20000, 99999 (null-zip row dropped, dup deduped)
