@@ -61,6 +61,8 @@ object Dedup {
       .agg(count(lit(1)).as("common"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
+    // NOT persisted: caching the ~1M-row pair relation caused GC pressure
+    // that slowed unrelated queries more than the recompute costs (measured)
   }
 
   /** Min-label connected components over an undirected edge list — the
