@@ -73,6 +73,35 @@ object GraftProps extends Properties("graft") {
   } yield (lefts.zipWithIndex.map { case ((k, _, t), i) => (i.toLong, k, t) },
     rights.distinctBy(r => (r._1, r._2)))
 
+  private val genEvents: Gen[List[(Long, Int)]] =
+    Gen.nonEmptyListOf(for {
+      user <- Gen.choose(1L, 3L)
+      minute <- Gen.choose(0, 300)
+    } yield (user, minute)).map(_.distinctBy(identity).take(40))
+
+  property("stateful sessionizer (batch) emits exactly the gap-closed sessions") =
+    forAll(genEvents) { evs =>
+      import graft.streaming.Sessionize
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val ds = evs.map { case (u, m) =>
+        Sessionize.Ev(u, new java.sql.Timestamp(base + m * 60000L), m.toDouble)
+      }.toDS()
+      val got = Sessionize.sessionize(ds, gapMinutes = 30).collect()
+        .map(s => (s.user_id, s.session_start.getTime, s.event_count, s.session_value)).toSet
+      // reference fold: sessions split on gap >= 30min; batch mode keeps the
+      // final open session in (discarded) state, so it is NOT emitted
+      val expected = evs.groupBy(_._1).flatMap { case (u, es) =>
+        val sorted = es.map(_._2).sorted
+        val sessions = sorted.foldLeft(List.empty[List[Int]]) {
+          case (acc, m) if acc.nonEmpty && m - acc.head.head < 30 => (m :: acc.head) :: acc.tail
+          case (acc, m) => List(m) :: acc
+        }.map(_.reverse).reverse
+        sessions.dropRight(1).map(s =>
+          (u, base + s.head * 60000L, s.length.toLong, s.map(_.toDouble).sum))
+      }.toSet
+      got == expected
+    }
+
   property("as-of join picks the max right time <= left time (vs brute force)") =
     forAll(genAsof) { case (lefts, rights) =>
       val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
