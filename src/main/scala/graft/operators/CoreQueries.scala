@@ -499,11 +499,48 @@ object CoreQueries {
       |      FROM part) t
       |WHERE rk <= 3""".stripMargin))
 
+  /** Distributed second-moment statistics from EXACT decimal power sums:
+    * covariance/correlation assembled from (n, Σx, Σy, Σxy, Σx², Σy²) where
+    * every sum is order-independent decimal arithmetic and only the final
+    * scalar formula runs in doubles (identical expression structure on both
+    * engines → bitwise-equal results; built-in corr() would be
+    * implementation-dependent). This is also the mergeable-statistics shape
+    * used for incremental rollups at scale. */
+  val q53ExactStats: Q = Q(
+    "q53_exact_stats",
+    (s, dir) => Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sx"),
+        sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("sy"),
+        sum((col("l_quantity") * col("l_extendedprice")).cast("decimal(28,4)")).cast("double").as("sxy"),
+        sum((col("l_quantity") * col("l_quantity")).cast("decimal(28,4)")).cast("double").as("sxx"),
+        sum((col("l_extendedprice") * col("l_extendedprice")).cast("decimal(28,4)")).cast("double").as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) / col("n")).as("covar_pop"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price")),
+    Some("""WITH sums AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  (sxy - sx * sy / n) / n AS covar_pop,
+      |  (n * sxy - sx * sy) /
+      |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+      |FROM sums""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02SelectiveRevenue, q03JoinAgg, q04OrderEnrichment,
     q05PrimaryFlag, q06UnionDistinct, q07DimLocations, q08Master,
     q09ScalarNorm, q10TopKPerGroup, q11CustomerOrderSeq, q12TopOrders,
     q13MonthlyRollup, q25MultiKeyNormJoin, q26SetOps, q27Rollup, q28Pivot,
     q29AsofJoin, q41SemiAnti, q42RangeJoin, q43Funnel, q44CohortRetention,
-    q45Profile, q46SqlApi, q47TopKNative)
+    q45Profile, q46SqlApi, q47TopKNative, q53ExactStats)
 }
