@@ -23,10 +23,17 @@ object Cleanse {
     * money expression we build (price × (1±2-decimal rate) × (1±rate)) has at
     * most 6 true decimal digits. At scale 6 the double→decimal cast is
     * therefore EXACT — no rounding occurs — which makes distributed SUMs
-    * order-independent AND engine-independent. (At lower scales Spark and
-    * DuckDB disagree: Spark rounds the exact binary expansion HALF_UP, DuckDB
-    * rounds the shortest decimal representation HALF_EVEN — observed on this
-    * data at scale 4.)
+    * order-independent AND engine-independent.
+    *
+    * GENERAL CAST-SCALE RULE (learned twice on this corpus): cast a derived
+    * double at the TRUE decimal scale of the quantity it approximates, never
+    * finer. Spark rounds the exact binary expansion HALF_UP while DuckDB
+    * rounds the shortest decimal representation HALF_EVEN; the two agree iff
+    * the double sits far (≫ rounding half-grid) from a scale boundary, which
+    * holds exactly when the scale matches the value's true decimal grid —
+    * the FP error (ulps of arithmetic) is then tiny vs half a grid step.
+    * Observed failures: scale 4 for 6-decimal money products (q01/q04) and
+    * scale 8 for 4-decimal squared prices (q53).
     */
   val MoneyType: DecimalType = DecimalType(18, 6)
   def money(c: Column): Column = c.cast(MoneyType)
