@@ -536,11 +536,82 @@ object CoreQueries {
       |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
       |FROM sums""".stripMargin))
 
+  /** Unpivot/melt (wide → long) — the inverse of q28's pivot. */
+  val q54Unpivot: Q = Q(
+    "q54_unpivot",
+    (s, dir) => Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_custkey").cast("double").as("o_custkey"))
+      .unpivot(Array(col("o_orderkey")),
+        Array(col("o_totalprice"), col("o_custkey")), "metric", "value"),
+    Some("""SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS value FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, 'o_custkey', CAST(o_custkey AS DOUBLE) FROM orders""".stripMargin))
+
+  /** Fuzzy matching: nearest part name by Levenshtein distance for a probe
+    * set (argmin with pinned tiebreak) — entity-resolution shape. */
+  val q55FuzzyMatch: Q = Q(
+    "q55_fuzzy_match",
+    (s, dir) => {
+      val p = Tables(s, dir, "part")
+      val probes = p.filter(col("p_partkey") < 20)
+        .select(col("p_partkey").as("probe_key"), col("p_name").as("probe_name"))
+      p.select(col("p_partkey").as("cand_key"), col("p_name").as("cand_name"))
+        .join(broadcast(probes), col("cand_key") =!= col("probe_key"))
+        .withColumn("dist", levenshtein(col("probe_name"), col("cand_name")))
+        .groupBy(col("probe_key"), col("probe_name"))
+        .agg(min(struct(col("dist"), col("cand_key"), col("cand_name"))).as("best"))
+        .select(col("probe_key"), col("probe_name"),
+          col("best.cand_key").as("closest_key"),
+          col("best.cand_name").as("closest_name"),
+          col("best.dist").cast("long").as("distance"))
+    },
+    Some("""SELECT probe_key, probe_name, cand_key AS closest_key,
+      |  cand_name AS closest_name, CAST(dist AS BIGINT) AS distance
+      |FROM (
+      |  SELECT p.p_partkey AS probe_key, p.p_name AS probe_name,
+      |    c.p_partkey AS cand_key, c.p_name AS cand_name,
+      |    levenshtein(p.p_name, c.p_name) AS dist,
+      |    ROW_NUMBER() OVER (PARTITION BY p.p_partkey
+      |      ORDER BY levenshtein(p.p_name, c.p_name) ASC, c.p_partkey ASC) AS rn
+      |  FROM part p JOIN part c ON c.p_partkey <> p.p_partkey
+      |  WHERE p.p_partkey < 20) t
+      |WHERE rn = 1""".stripMargin))
+
+  /** Calendar-spine gap filling: month spine from sequence(), left join,
+    * zero-fill — the standard dense-time-series transform. */
+  val q56GapFill: Q = Q(
+    "q56_gap_fill",
+    (s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val monthly = o.groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(moneySum(col("o_totalprice")).cast("double").as("revenue"))
+      val spine = o.agg(
+          date_trunc("month", min(col("o_orderdate"))).as("lo"),
+          date_trunc("month", max(col("o_orderdate"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 month"))).as("month"))
+      spine.join(monthly, Seq("month"), "left")
+        .select(col("month"),
+          coalesce(col("revenue"), lit(0.0)).as("revenue"),
+          col("revenue").isNull.as("was_missing"))
+    },
+    Some("""WITH monthly AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |  FROM orders GROUP BY 1),
+      |b AS (SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS TIMESTAMP) AS lo,
+      |             CAST(date_trunc('month', MAX(o_orderdate)) AS TIMESTAMP) AS hi
+      |      FROM orders),
+      |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month FROM b)
+      |SELECT month, COALESCE(revenue, 0.0) AS revenue, revenue IS NULL AS was_missing
+      |FROM spine LEFT JOIN monthly USING (month)""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02SelectiveRevenue, q03JoinAgg, q04OrderEnrichment,
     q05PrimaryFlag, q06UnionDistinct, q07DimLocations, q08Master,
     q09ScalarNorm, q10TopKPerGroup, q11CustomerOrderSeq, q12TopOrders,
     q13MonthlyRollup, q25MultiKeyNormJoin, q26SetOps, q27Rollup, q28Pivot,
     q29AsofJoin, q41SemiAnti, q42RangeJoin, q43Funnel, q44CohortRetention,
-    q45Profile, q46SqlApi, q47TopKNative, q53ExactStats)
+    q45Profile, q46SqlApi, q47TopKNative, q53ExactStats, q54Unpivot,
+    q55FuzzyMatch, q56GapFill)
 }
