@@ -513,27 +513,37 @@ object CoreQueries {
       .agg(
         count(lit(1)).as("n"),
         sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sx"),
-        sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("sy"),
-        sum((col("l_quantity") * col("l_extendedprice")).cast("decimal(28,4)")).cast("double").as("sxy"),
-        sum((col("l_quantity") * col("l_quantity")).cast("decimal(28,4)")).cast("double").as("sxx"),
-        sum((col("l_extendedprice") * col("l_extendedprice")).cast("decimal(28,4)")).cast("double").as("syy"))
+        sum(col("l_discount").cast("decimal(18,6)")).cast("double").as("sy"),
+        // Factors cast to decimal(18,2) (exact for these 2dp doubles) and
+        // multiplied in decimal: sums are exact end-to-end. Two pitfalls
+        // pinned here: casting the double PRODUCT at any scale is
+        // probabilistically engine-divergent, and the final DECIMAL→DOUBLE
+        // cast itself diverges when |unscaled| > 2^53 (DuckDB divides
+        // rounded doubles, Spark rounds exactly via BigDecimal) — hence
+        // correlating with the small-magnitude discount column.
+        sum(col("l_quantity").cast("decimal(18,2)") * col("l_discount").cast("decimal(18,2)"))
+          .cast("double").as("sxy"),
+        sum(col("l_quantity").cast("decimal(18,2)") * col("l_quantity").cast("decimal(18,2)"))
+          .cast("double").as("sxx"),
+        sum(col("l_discount").cast("decimal(18,2)") * col("l_discount").cast("decimal(18,2)"))
+          .cast("double").as("syy"))
       .select(col("l_returnflag"), col("n"),
         ((col("sxy") - col("sx") * col("sy") / col("n")) / col("n")).as("covar_pop"),
         ((col("n") * col("sxy") - col("sx") * col("sy")) /
           (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-           sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price")),
+           sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_discount")),
     Some("""WITH sums AS (
       |  SELECT l_returnflag, COUNT(*) AS n,
       |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-      |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
-      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
-      |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS syy
       |  FROM lineitem GROUP BY l_returnflag)
       |SELECT l_returnflag, n,
       |  (sxy - sx * sy / n) / n AS covar_pop,
       |  (n * sxy - sx * sy) /
-      |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+      |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_discount
       |FROM sums""".stripMargin))
 
   /** Unpivot/melt (wide → long) — the inverse of q28's pivot. */
