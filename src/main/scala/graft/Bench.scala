@@ -15,6 +15,7 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // fixed name order: deterministic cache-materialization attribution
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      System.gc() // don't charge query N with query N-1's garbage
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
