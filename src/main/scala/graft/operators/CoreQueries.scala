@@ -616,6 +616,58 @@ object CoreQueries {
       |SELECT month, COALESCE(revenue, 0.0) AS revenue, revenue IS NULL AS was_missing
       |FROM spine LEFT JOIN monthly USING (month)""".stripMargin))
 
+  /** Ordered string aggregation (collect → sort → join: Spark's
+    * collect_list is order-nondeterministic, array_sort pins it) plus
+    * percent_rank over the same groups. */
+  val q57StringAgg: Q = Q(
+    "q57_string_agg",
+    (s, dir) => {
+      val withRank = Tables(s, dir, "part")
+        .withColumn("price_pct_rank", percent_rank().over(
+          Window.partitionBy(col("p_brand"))
+            .orderBy(col("p_retailprice").asc, col("p_partkey").asc)))
+      withRank.groupBy(col("p_brand"))
+        .agg(
+          concat_ws(",", array_sort(collect_set(normLower(col("p_type"))))).as("types_csv"),
+          count(lit(1)).as("n_parts"),
+          max(col("price_pct_rank")).as("max_pct_rank"))
+    },
+    Some("""WITH ranked AS (
+      |  SELECT p_brand, lower(trim(p_type)) AS type_norm,
+      |    percent_rank() OVER (PARTITION BY p_brand
+      |      ORDER BY p_retailprice ASC, p_partkey ASC) AS price_pct_rank
+      |  FROM part)
+      |SELECT p_brand,
+      |  array_to_string(list_sort(list(DISTINCT type_norm)), ',') AS types_csv,
+      |  COUNT(*) AS n_parts,
+      |  MAX(price_pct_rank) AS max_pct_rank
+      |FROM ranked GROUP BY p_brand""".stripMargin))
+
+  /** Date-part scalar pack (the BI drill-down dimensions): year/quarter/
+    * month/day/day-of-week/last-day-of-month, normalized to one convention
+    * on both engines. */
+  val q58DateParts: Q = Q(
+    "q58_date_parts",
+    (s, dir) => Tables(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        // Spark dayofweek: 1=Sunday..7; DuckDB dayofweek: 0=Sunday..6
+        (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"),
+        last_day(col("o_orderdate")).cast("string").as("month_end")),
+    Some("""SELECT o_orderkey, o_orderdate,
+      |  CAST(year(o_orderdate) AS BIGINT) AS y,
+      |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+      |  CAST(month(o_orderdate) AS BIGINT) AS m,
+      |  CAST(day(o_orderdate) AS BIGINT) AS d,
+      |  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+      |  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end
+      |FROM orders""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02SelectiveRevenue, q03JoinAgg, q04OrderEnrichment,
     q05PrimaryFlag, q06UnionDistinct, q07DimLocations, q08Master,
@@ -623,5 +675,5 @@ object CoreQueries {
     q13MonthlyRollup, q25MultiKeyNormJoin, q26SetOps, q27Rollup, q28Pivot,
     q29AsofJoin, q41SemiAnti, q42RangeJoin, q43Funnel, q44CohortRetention,
     q45Profile, q46SqlApi, q47TopKNative, q53ExactStats, q54Unpivot,
-    q55FuzzyMatch, q56GapFill)
+    q55FuzzyMatch, q56GapFill, q57StringAgg, q58DateParts)
 }
