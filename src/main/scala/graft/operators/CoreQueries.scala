@@ -668,6 +668,33 @@ object CoreQueries {
       |  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end
       |FROM orders""".stripMargin))
 
+  /** Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    * NULL keys instead of dropping — the dimension-with-unknown-bucket join
+    * shape. Keys made nullable via NULLIF on the extracted JSON field. */
+  val q59NullSafeJoin: Q = Q(
+    "q59_nullsafe_join",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"),
+          nullif(get_json_object(col("props"), "$.k").cast("long"), lit(0L)).as("k"))
+      val keys = ev.select(col("k").as("dim_k")).distinct()
+        .withColumn("bucket_name",
+          coalesce(concat(lit("k_"), col("dim_k")), lit("k_unknown")))
+      ev.join(keys, col("k") <=> col("dim_k"))
+        .groupBy(col("bucket_name"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""WITH ev AS (
+      |  SELECT event_id,
+      |    NULLIF(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS k
+      |  FROM events),
+      |keys AS (
+      |  SELECT dim_k, COALESCE('k_' || dim_k, 'k_unknown') AS bucket_name
+      |  FROM (SELECT DISTINCT k AS dim_k FROM ev) d)
+      |SELECT bucket_name, COUNT(*) AS n
+      |FROM ev JOIN keys ON ev.k IS NOT DISTINCT FROM keys.dim_k
+      |GROUP BY bucket_name""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02SelectiveRevenue, q03JoinAgg, q04OrderEnrichment,
     q05PrimaryFlag, q06UnionDistinct, q07DimLocations, q08Master,
@@ -675,5 +702,5 @@ object CoreQueries {
     q13MonthlyRollup, q25MultiKeyNormJoin, q26SetOps, q27Rollup, q28Pivot,
     q29AsofJoin, q41SemiAnti, q42RangeJoin, q43Funnel, q44CohortRetention,
     q45Profile, q46SqlApi, q47TopKNative, q53ExactStats, q54Unpivot,
-    q55FuzzyMatch, q56GapFill, q57StringAgg, q58DateParts)
+    q55FuzzyMatch, q56GapFill, q57StringAgg, q58DateParts, q59NullSafeJoin)
 }
