@@ -102,6 +102,47 @@ object GraftProps extends Properties("graft") {
       got == expected
     }
 
+  property("range join results are bucketWidth-invariant and match brute force") = {
+    import graft.operators.RangeJoin
+    val genRanges: Gen[(List[(Long, Double)], List[(Double, Double, String)])] = for {
+      vals <- Gen.listOfN(25, Gen.choose(0, 1000).map(_ / 10.0))
+      ranges <- Gen.listOfN(5, for {
+        lo <- Gen.choose(0, 900).map(_ / 10.0)
+        w <- Gen.choose(1, 300).map(_ / 10.0)
+      } yield (lo, lo + w))
+    } yield (vals.zipWithIndex.map { case (v, i) => (i.toLong, v) },
+      ranges.zipWithIndex.map { case ((lo, hi), i) => (lo, hi, s"r$i") })
+    forAll(genRanges) { case (vals, ranges) =>
+      val left = vals.toDF("id", "v")
+      val r = ranges.toDF("lo", "hi", "tier")
+      def run(w: Double) = RangeJoin.bucketed(left, "v", r, "lo", "hi", w)
+        .select("id", "tier").collect().map(x => (x.getLong(0), x.getString(1))).toSet
+      val brute = (for {
+        (id, v) <- vals; (lo, hi, t) <- ranges if v >= lo && v < hi
+      } yield (id, t)).toSet
+      run(5.0) == brute && run(25.0) == brute && run(120.0) == brute
+    }
+  }
+
+  property("custom TopK physical operator matches the window formulation on random data") = {
+    import graft.plans.TopK
+    import org.apache.spark.sql.expressions.Window
+    val genData: Gen[List[(String, Int, Long)]] = Gen.nonEmptyListOf(for {
+      g <- Gen.oneOf("a", "b", "c")
+      score <- Gen.choose(0, 5) // small domain → frequent ties
+    } yield (g, score)).map(_.zipWithIndex.map { case ((g, s), i) => (g, s, i.toLong) }.take(40))
+    forAll(genData) { rows =>
+      val df = rows.toDF("grp", "score", "id")
+      val native = TopK.perGroup(df, Seq("grp"), Seq("score" -> false, "id" -> true), 3)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      val win = df.withColumn("rk", row_number().over(
+          Window.partitionBy(col("grp")).orderBy(col("score").desc, col("id").asc)))
+        .filter(col("rk") <= 3).drop("rk")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      native == win
+    }
+  }
+
   property("as-of join picks the max right time <= left time (vs brute force)") =
     forAll(genAsof) { case (lefts, rights) =>
       val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
