@@ -184,8 +184,10 @@ object TextAnalysis {
     * scheme): hash every 8-char k-gram, slide a 4-position window, keep each
     * window's minimum hash, distinct per doc. Codegen-friendly layout:
     * posexplode the k-grams, windowed MIN over a 4-row frame (no interpreted
-    * array slicing). xxhash64-based → rows-only; determinism + dup-doc
-    * equality pinned in tests. */
+    * array slicing). Hashes are md5 hex strings — engine-portable (identical
+    * in DuckDB), so unlike an xxhash64 formulation this is fully
+    * hash-checkable against the oracle; lowercase-hex string MIN/MAX order
+    * identically under both engines' binary collation. */
   val q39Winnowing: Q = Q(
     "q39_winnowing",
     (s, dir) => {
@@ -200,13 +202,24 @@ object TextAnalysis {
           posexplode(transform(
             sequence(lit(1), length(col("text")) - (k - 1)),
             i => col("text").substr(i, lit(k)))).as(Seq("pos", "gram")))
-        .withColumn("h", xxhash64(col("gram")))
+        .withColumn("h", md5(col("gram").cast("binary")))
         .withColumn("fp", min(col("h")).over(win))
         .select(col("doc_id"), col("fp")).distinct()
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("fp_count"), min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
     },
-    None)
+    Some("""WITH pos AS (
+      |  SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS pos
+      |  FROM documents WHERE length(text) >= 8),
+      |grams AS (
+      |  SELECT doc_id, pos, md5(substr(text, pos, 8)) AS h FROM pos),
+      |fps AS (
+      |  SELECT DISTINCT doc_id,
+      |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |  FROM grams)
+      |SELECT doc_id, COUNT(*) AS fp_count, MIN(fp) AS min_fp, MAX(fp) AS max_fp
+      |FROM fps GROUP BY doc_id""".stripMargin))
 
   val all: Seq[Q] = Seq(q20TextStats, q21TokenCount, q22LangId, q23Fingerprint,
     q24Quality, q39Winnowing)

@@ -164,16 +164,33 @@ object Events {
     None)
 
   /** Stratified sampling (training-data subsampling): per-stratum fractions
-    * with a fixed seed. Sampling is engine-specific → rows-only; the spec
-    * asserts per-stratum proportions. */
+    * via a DETERMINISTIC hash-threshold sampler — keep a row iff the first
+    * 4 hex chars of md5(event_id || ':' || event_type) fall below the
+    * stratum's fraction of the 16-bit hex space ('8000' = 1/2,
+    * '4000' = 1/4). Engine-portable (md5 hex is identical in DuckDB), so
+    * unlike seeded `sampleBy` this is fully hash-checkable; it is also the
+    * 100 TB-correct shape — membership is a pure row-local function, stable
+    * under repartitioning, retries, and incremental reruns. */
   val q50StratifiedSample: Q = Q(
     "q50_stratified_sample",
     (s, dir) => Tables(s, dir, "events")
-      .stat.sampleBy("event_type",
-        Map("click" -> 0.5, "view" -> 0.25, "purchase" -> 1.0), 42L)
+      .withColumn("hx", substring(
+        md5(concat_ws(":", col("event_id").cast("string"), col("event_type")).cast("binary")),
+        1, 4))
+      .filter(
+        (col("event_type") === "click" && col("hx") < "8000") ||
+        (col("event_type") === "view" && col("hx") < "4000") ||
+        (col("event_type") === "purchase"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("sampled_rows")),
-    None)
+    Some("""SELECT event_type, COUNT(*) AS sampled_rows
+      |FROM (SELECT event_type,
+      |        substr(md5(CAST(event_id AS VARCHAR) || ':' || event_type), 1, 4) AS hx
+      |      FROM events) t
+      |WHERE (event_type = 'click' AND hx < '8000')
+      |   OR (event_type = 'view' AND hx < '4000')
+      |   OR event_type = 'purchase'
+      |GROUP BY event_type""".stripMargin))
 
   /** Value histogram: fixed-width bins with per-bin stats (floor-division
     * binning is engine-portable, unlike width_bucket). */

@@ -34,9 +34,9 @@ class DedupSpec extends AnyFunSuite {
   test("winnowing fingerprints are deterministic and dense") {
     import graft.operators.TextAnalysis
     val a = TextAnalysis.q39Winnowing.run(spark, TestSpark.sf0001)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).sorted.toSeq
     val b = TextAnalysis.q39Winnowing.run(spark, TestSpark.sf0001)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).sorted.toSeq
     assert(a == b)
     assert(a.forall(_._2 > 0)) // every doc ≥8 chars yields fingerprints
   }

@@ -46,7 +46,7 @@ class EventsSpec extends AnyFunSuite {
     val clickRatio = sampled("click").toDouble / totals("click")
     assert(clickRatio > 0.3 && clickRatio < 0.7, s"click ratio $clickRatio vs 0.5")
     assert(!sampled.contains("signup") || sampled.get("signup").isEmpty ||
-      sampled("signup") == 0L) // unlisted strata are dropped by sampleBy
+      sampled("signup") == 0L) // unlisted strata are dropped by the sampler
   }
 
   test("streaming tumbling agg (readStream + watermark) matches batch result") {
