@@ -19,19 +19,32 @@ import graft.sources.Tables
   * generation is a bucket equi-join — shuffle on (band, hash), candidates
   * per bucket stay small, no O(n²) stage — and whose verification step only
   * ever touches the candidate set.
+  *
+  * Plan economy: the whole family works over ONE shared relation of hashed
+  * shingles (`shingled`: (doc_id, h) with h = xxhash64 of the word-3-gram).
+  * Working on 8-byte longs instead of ~30-byte shingle strings halves every
+  * downstream shuffle and makes the sort-merge compares branchless; shingle
+  * multiplicity per doc is carried by a tiny per-doc count relation that
+  * broadcast-joins onto the pair aggregate instead of a window function over
+  * the full exploded relation. Hash-as-shingle-identity is sound at any
+  * realistic scale: for D distinct shingles the expected number of colliding
+  * pairs is D²/2^65 (~3e-11 at sf0.1's 27k shingles; ~5 expected collisions
+  * even at 10^10 shingles), each perturbing one `common` count by 1.
   */
 object Dedup {
 
   /** Session-scoped memo of persisted intermediates shared across the dedup
     * family (shingles, MinHash signatures, SimHash signatures, exact pairs).
-    * Keyed by (session identity, data dir, tag) so repeated query
-    * invocations in one session reuse a single cache entry instead of
-    * stacking persisted copies; `releaseCaches` frees everything for a
-    * session. */
+    * Keyed by (session UUID, data dir, tag) so repeated query invocations in
+    * one session reuse a single cache entry instead of stacking persisted
+    * copies. `sessionUUID` is stable and unique per live session (unlike an
+    * identity hash, which the JVM can reuse after a stopped session is
+    * collected). `releaseCaches` frees everything for a session — wired into
+    * Bench and the dedup specs' teardown so persisted blocks never outlive
+    * the batch that needed them. */
   private val memoCache = TrieMap.empty[(String, String, String), DataFrame]
 
-  private def sessionKey(spark: SparkSession): String =
-    System.identityHashCode(spark).toString
+  private def sessionKey(spark: SparkSession): String = spark.sessionUUID
 
   private def memo(spark: SparkSession, dir: String, tag: String)(
       build: => DataFrame): DataFrame =
@@ -46,58 +59,69 @@ object Dedup {
     }
   }
 
-  /** Exploded (doc_id, n_sh, shingle) relation shared by Jaccard/MinHash
-    * (n_sh = count of DISTINCT shingles in the doc; dedup happens row-wise
-    * after explode, keeping the shingle projection codegen'd — see
-    * TextAnalysis.shingles). Persisted + memoized: the sketch queries
-    * reference it from several join sides and several queries share it, so
-    * exactly one materialization exists per (session, dir). Repartitioned
-    * first — the corpus arrives as one small parquet file (one input split),
-    * which would otherwise serialize everything downstream on a single task. */
+  /** Exploded, hashed, per-doc-distinct (doc_id, h) shingle relation shared
+    * by the whole family (h = xxhash64 of the word-3-gram text; see the
+    * collision bound in the object doc). Dedup happens row-wise after
+    * explode: the distinct shuffle carries two longs per row, and row-level
+    * `array_distinct` over the HOF-produced shingle array measures 5× slower
+    * (interpreted path) than this shape. Persisted + memoized: every sketch
+    * query reads it from several join sides, so exactly one materialization
+    * exists per (session, dir). Repartitioned first — the corpus arrives as
+    * one small parquet file (one input split), which would otherwise
+    * serialize everything downstream on a single task. */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "shingled") {
       Tables(spark, dir, "documents")
         .repartition(col("doc_id"))
         .withColumn("w", TextAnalysis.words(col("text")))
         .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), explode(TextAnalysis.shingles(col("w"))).as("shingle"))
+        .select(col("doc_id"),
+          explode(TextAnalysis.shingles(col("w"))).as("shingle"))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
         .distinct()
-        .withColumn("n_sh", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
-        .select(col("doc_id"), col("n_sh"), col("shingle"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
+
+  /** Per-doc distinct-shingle counts (the Jaccard denominators). Derived
+    * from the cached shingle relation on demand — 1 row per doc, so it
+    * broadcast-joins onto pair aggregates. */
+  private def shingleCounts(spark: SparkSession, dir: String): DataFrame =
+    shingled(spark, dir).groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
 
   /** All-pairs exact word-3-gram Jaccard via shingle equi-join (no cross
     * join: only docs sharing a shingle ever meet).
     *
     * Skew guard: shingles appearing in more than `maxDocFreq` docs are
     * excluded from the pair join — a head shingle shared by d docs emits
-    * d²/2 pair rows, the one quadratic term in this plan. The cap bounds it
-    * at |shingles|·maxDocFreq²/2. Denominators keep the FULL distinct
+    * d²/2 pair rows, the one quadratic term in this plan. The guard is an
+    * anti-join against the HOT shingle set (at most |rows|/maxDocFreq
+    * entries, so it broadcasts at any scale — unlike the complement "rare"
+    * set, which grows with the corpus). Denominators keep the FULL distinct
     * shingle counts, so `jaccard` is then a lower bound for docs containing
-    * hot shingles. At test scale (max df = 25 on sf0.1) the cap is a no-op
+    * hot shingles. At test scale (max df = 25 on sf0.1) the guard is a no-op
     * and the DuckDB oracle mirrors it verbatim.
     *
     * Persisted + memoized (MEMORY_AND_DISK): q31 and q48 consume the same
-    * relation, and recomputing it dominated the round-1 bench (~50 s of
-    * redundant compute at sf0.1). The earlier GC-pressure concern was
-    * measured against an unmemoized per-call MEMORY_ONLY persist that
-    * stacked copies; a single shared entry with a disk fallback does not
-    * exhibit it. */
+    * relation; the round-1 GC-pressure concern was measured against
+    * unmemoized per-call MEMORY_ONLY persists that stacked copies. */
   def jaccardPairs(spark: SparkSession, dir: String, maxDocFreq: Int = 1000): DataFrame =
     memo(spark, dir, s"jaccardPairs:$maxDocFreq") {
       val ex = shingled(spark, dir)
-      val rare = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDocFreq).select(col("shingle"))
-      val exRare = ex.join(rare, Seq("shingle"))
-      val a = exRare.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("shingle"))
-      val b = exRare.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("shingle").as("shingle_b"))
-      a.join(b, col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      val nsh = shingleCounts(spark, dir)
+      val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDocFreq).select(col("h"))
+      val exCapped = ex.join(hot, Seq("h"), "left_anti")
+      val a = exCapped.toDF("doc_a", "h")
+      val b = exCapped.toDF("doc_b", "hb")
+      a.join(b, col("h") === col("hb") && col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("common"))
+        .join(broadcast(nsh.toDF("doc_a", "na")), "doc_a")
+        .join(broadcast(nsh.toDF("doc_b", "nb")), "doc_b")
         .withColumn("jaccard",
           col("common").cast("double") / (col("na") + col("nb") - col("common")))
+        .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+          col("common"), col("jaccard"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -224,8 +248,8 @@ object Dedup {
       val ex = shingled(s, dir)
       val sig = memo(s, dir, "minhashSig") {
         ex.groupBy(col("doc_id")).agg(
-          min(xxhash64(lit(0), col("shingle"))).as("mh0"),
-          (1 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh$i")): _*)
+          min(xxhash64(lit(0), col("h"))).as("mh0"),
+          (1 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"mh$i")): _*)
           .persist(StorageLevel.MEMORY_AND_DISK) // referenced from three join sides
       }
       val bandCols = (0 until bandsN).map { b =>
@@ -254,13 +278,16 @@ object Dedup {
       // shingle relation on both doc ids, count shared shingles. Candidate
       // set ≪ all pairs, so the join is (small candidates) ⋈ (linear shingle
       // relation) — broadcastable at test scale, a keyed shuffle at 100 TB.
-      val ea = ex.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("shingle"))
-      val eb = ex.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("shingle"))
+      val nsh = shingleCounts(s, dir)
+      val ea = ex.toDF("doc_a", "h")
+      val eb = ex.toDF("doc_b", "h")
       val verified = candidates
         .join(ea, Seq("doc_a"))
-        .join(eb, Seq("doc_b", "shingle"))
-        .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+        .join(eb, Seq("doc_b", "h"))
+        .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("common"))
+        .join(broadcast(nsh.toDF("doc_a", "na")), "doc_a")
+        .join(broadcast(nsh.toDF("doc_b", "nb")), "doc_b")
         .withColumn("jaccard",
           col("common").cast("double") / (col("na") + col("nb") - col("common")))
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -270,7 +297,7 @@ object Dedup {
     },
     None)
 
-  /** q33 — SimHash: 64-bit signature from per-shingle xxhash64 bit votes;
+  /** q33 — SimHash: 64-bit signature from per-shingle hash bit votes;
     * near-dup pairs = hamming distance ≤ 10 (random docs sit near hamming 32,
     * so ≤10 isolates true near-dups). Features are 3-gram shingles, not
     * words: the synthetic vocabulary is tiny, so word SETS are nearly
@@ -291,9 +318,7 @@ object Dedup {
     "q33_dedup_simhash",
     (s, dir) => {
       val bits = 64
-      val wordsRel = shingled(s, dir).select(col("doc_id"), col("shingle"))
-        .withColumn("h", xxhash64(col("shingle")))
-      val votes = wordsRel.groupBy(col("doc_id")).agg(
+      val votes = shingled(s, dir).groupBy(col("doc_id")).agg(
         sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("v0"),
         (1 until bits).map(b =>
           sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")): _*)
@@ -328,8 +353,8 @@ object Dedup {
     None)
 
   /** q34 — embedding-cosine near-dup pairs (brute force at test scale; the
-    * LSH-bucketed scale path is q36). Sequential-fold double arithmetic
-    * matches DuckDB's list_dot_product bitwise. */
+    * LSH-bucketed scale paths are q36 top-k and q38 pairs). Sequential-fold
+    * double arithmetic matches DuckDB's list_dot_product bitwise. */
   val q34EmbeddingDups: Q = Q(
     "q34_dedup_embedding",
     (s, dir) => {

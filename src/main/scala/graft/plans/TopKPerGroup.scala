@@ -161,7 +161,10 @@ object TopK {
     def attr(name: String): Attribute =
       byName.getOrElse(name, throw new IllegalArgumentException(
         s"column $name not in ${byName.keys.mkString(", ")}"))
-    val groupExprs: Seq[Expression] = groupCols.map(attr)
+    // Float/double group keys: canonicalize -0.0/NaN so the byte-wise
+    // UnsafeRow key compares in the exec agree with the semantic sort order
+    // (the NormalizeFloatingNumbers rule doesn't visit custom logical nodes).
+    val groupExprs: Seq[Expression] = groupCols.map(c => Bridge.normalizeFloats(attr(c)))
     val sortOrder = orderCols.map { case (name, asc) =>
       SortOrder(attr(name),
         if (asc) org.apache.spark.sql.catalyst.expressions.Ascending

@@ -175,7 +175,10 @@ object Events {
     "q50_stratified_sample",
     (s, dir) => Tables(s, dir, "events")
       .withColumn("hx", substring(
-        md5(concat_ws(":", col("event_id").cast("string"), col("event_type")).cast("binary")),
+        // concat, not concat_ws: NULL must propagate (and drop the row at the
+        // filter) exactly like the oracle's `||` — concat_ws would silently
+        // hash the surviving fields instead.
+        md5(concat(col("event_id").cast("string"), lit(":"), col("event_type")).cast("binary")),
         1, 4))
       .filter(
         (col("event_type") === "click" && col("hx") < "8000") ||

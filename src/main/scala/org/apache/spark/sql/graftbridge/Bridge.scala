@@ -12,4 +12,12 @@ object Bridge {
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Canonicalize float/double values inside an expression (-0.0 → 0.0, one
+    * NaN bit pattern) — what Spark's NormalizeFloatingNumbers rule does for
+    * built-in grouping/join keys. Custom logical nodes bypass that rule, so
+    * operators comparing group keys byte-wise (TopKPerGroupExec) must apply
+    * it themselves. */
+  def normalizeFloats(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }

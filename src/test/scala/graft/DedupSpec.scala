@@ -1,12 +1,15 @@
 package graft
 
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Dedup
 
 /** Dedup family on the real sf0.001 corpus: the sketch paths must agree with
   * the exact-Jaccard ground truth. */
-class DedupSpec extends AnyFunSuite {
+class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val spark = TestSpark.spark
+
+  override def afterAll(): Unit = Dedup.releaseCaches(spark)
 
   private lazy val exact = Dedup.jaccardPairs(spark, TestSpark.sf0001)
     .filter(org.apache.spark.sql.functions.col("jaccard") >= 0.8)
