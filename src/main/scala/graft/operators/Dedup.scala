@@ -35,29 +35,26 @@ object Dedup {
 
   /** Session-scoped memo of persisted intermediates shared across the dedup
     * family (shingles, MinHash signatures, SimHash signatures, exact pairs).
-    * Keyed by (session UUID, data dir, tag) so repeated query invocations in
-    * one session reuse a single cache entry instead of stacking persisted
-    * copies. `sessionUUID` is stable and unique per live session (unlike an
-    * identity hash, which the JVM can reuse after a stopped session is
-    * collected). `releaseCaches` frees everything for a session — wired into
-    * Bench and the dedup specs' teardown so persisted blocks never outlive
-    * the batch that needed them. */
-  private val memoCache = TrieMap.empty[(String, String, String), DataFrame]
-
-  private def sessionKey(spark: SparkSession): String = spark.sessionUUID
+    * Keyed by (session reference, data dir, tag) so repeated query
+    * invocations in one session reuse a single cache entry instead of
+    * stacking persisted copies. Holding the SparkSession itself in the key
+    * makes the key unique for the session's whole lifetime (an identity hash
+    * alone could be recycled after a stopped session is collected; the strong
+    * reference here prevents that). `releaseCaches` frees everything for a
+    * session — wired into Bench, Verify, and the dedup specs' teardown so
+    * persisted blocks never outlive the batch that needed them. */
+  private val memoCache = TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   private def memo(spark: SparkSession, dir: String, tag: String)(
       build: => DataFrame): DataFrame =
-    memoCache.getOrElseUpdate((sessionKey(spark), dir, tag), build)
+    memoCache.getOrElseUpdate((spark, dir, tag), build)
 
   /** Unpersist and forget every dedup intermediate cached for `spark`.
     * Call after a dedup batch completes (specs/bench teardown). */
-  def releaseCaches(spark: SparkSession): Unit = {
-    val sk = sessionKey(spark)
-    memoCache.keys.filter(_._1 == sk).foreach { k =>
+  def releaseCaches(spark: SparkSession): Unit =
+    memoCache.keys.filter(_._1 eq spark).foreach { k =>
       memoCache.remove(k).foreach(_.unpersist(blocking = false))
     }
-  }
 
   /** Exploded, hashed, per-doc-distinct (doc_id, h) shingle relation shared
     * by the whole family (h = xxhash64 of the word-3-gram text; see the
@@ -110,14 +107,22 @@ object Dedup {
       val nsh = shingleCounts(spark, dir)
       val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDocFreq).select(col("h"))
+      // Explicit select, not positional toDF: a usingColumns join moves the
+      // join key to the front of the output schema, so positional renames
+      // after it silently swap columns.
       val exCapped = ex.join(hot, Seq("h"), "left_anti")
-      val a = exCapped.toDF("doc_a", "h")
-      val b = exCapped.toDF("doc_b", "hb")
+        .select(col("doc_id"), col("h"))
+      val a = exCapped.select(col("doc_id").as("doc_a"), col("h"))
+      val b = exCapped.select(col("doc_id").as("doc_b"), col("h").as("hb"))
       a.join(b, col("h") === col("hb") && col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("common"))
-        .join(broadcast(nsh.toDF("doc_a", "na")), "doc_a")
-        .join(broadcast(nsh.toDF("doc_b", "nb")), "doc_b")
+        // Denominator joins: nsh is one row per document (linear in corpus),
+        // so no broadcast hint — AQE broadcasts it when it fits and falls
+        // back to a keyed shuffle at scale, where force-broadcasting a
+        // corpus-sized relation would blow the driver.
+        .join(nsh.toDF("doc_a", "na"), "doc_a")
+        .join(nsh.toDF("doc_b", "nb"), "doc_b")
         .withColumn("jaccard",
           col("common").cast("double") / (col("na") + col("nb") - col("common")))
         .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
@@ -286,8 +291,8 @@ object Dedup {
         .join(eb, Seq("doc_b", "h"))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("common"))
-        .join(broadcast(nsh.toDF("doc_a", "na")), "doc_a")
-        .join(broadcast(nsh.toDF("doc_b", "nb")), "doc_b")
+        .join(nsh.toDF("doc_a", "na"), "doc_a") // linear-size: AQE decides
+        .join(nsh.toDF("doc_b", "nb"), "doc_b")
         .withColumn("jaccard",
           col("common").cast("double") / (col("na") + col("nb") - col("common")))
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
