@@ -1,19 +1,31 @@
 package graft.tools
+
 import org.apache.spark.sql.SparkSession
+import graft.SparkEntry
+
+/** Time individual registry queries under driver bench conditions
+  * (local[N], shuffle.partitions=N). Usage:
+  *   runMain graft.tools.TimeQ <sfDir> <qname> [<qname> ...]
+  * Repeats the LIST order given — pass a query twice to see warm timings. */
 object TimeQ {
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val sfDir = args.head
+    val names = args.tail.toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    for (name <- args) {
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    names.foreach { name =>
+      System.gc()
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.1").count()
-      println(f"$name: ${(System.nanoTime()-t0)/1e9}%.2f s ($n rows)")
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      println(f"[timeq] $name rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    graft.operators.Dedup.releaseCaches(spark)
     spark.stop()
   }
 }
