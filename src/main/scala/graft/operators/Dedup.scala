@@ -56,10 +56,14 @@ object Dedup {
       memoCache.remove(k).foreach(_.unpersist(blocking = false))
     }
 
-  /** Exploded, hashed, per-doc-distinct (doc_id, h) shingle relation shared
-    * by the whole family (h = xxhash64 of the word-3-gram text; see the
-    * collision bound in the object doc). Dedup happens row-wise after
-    * explode: the distinct shuffle carries two longs per row, and row-level
+  /** Exploded, hashed, per-doc-distinct shingle relation shared by the whole
+    * family, carrying TWO identities per word-3-gram: `h` = xxhash64 (an
+    * 8-byte long — the narrow join/shuffle key for the exact-pair paths; see
+    * the collision bound in the object doc) and `m` = md5 hex (32 chars —
+    * engine-portable, so the sketch queries built on it are reproducible in
+    * DuckDB SQL and fully oracle-checkable). Columns prune at the cached-scan,
+    * so paths that only need `h` never shuffle the wider `m`. Dedup happens
+    * row-wise after explode: the distinct shuffle is narrow, and row-level
     * `array_distinct` over the HOF-produced shingle array measures 5× slower
     * (interpreted path) than this shape. Persisted + memoized: every sketch
     * query reads it from several join sides, so exactly one materialization
@@ -74,10 +78,28 @@ object Dedup {
         .filter(size(col("w")) >= 3)
         .select(col("doc_id"),
           explode(TextAnalysis.shingles(col("w"))).as("shingle"))
-        .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+        .select(col("doc_id"), xxhash64(col("shingle")).as("h"),
+          md5(col("shingle").cast("binary")).as("m"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
+
+  /** The shared toks→shingles→exploded oracle CTE prefix mirrored by every
+    * sketch oracle: per-doc distinct shingles with their count and md5
+    * identity. Ends without a trailing comma. */
+  private[operators] val shingleOracleCte: String =
+    raw"""toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                   FOR i IN range(1, greatest(len(w) - 1, 1))]) AS shingles
+       |  FROM toks),
+       |exs AS (
+       |  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+       |  FROM sh WHERE len(shingles) > 0),
+       |exm AS (
+       |  SELECT doc_id, n_sh, md5(shingle) AS m FROM exs)""".stripMargin
 
   /** Per-doc distinct-shingle counts (the Jaccard denominators). Derived
     * from the cached shingle relation on demand — 1 row per doc, so it
@@ -238,12 +260,20 @@ object Dedup {
     Some(s"""WITH ${jaccardPairsOracle(0.1)}
       |SELECT doc_a, doc_b, common, jaccard FROM pairs""".stripMargin))
 
-  /** q32 — MinHash + LSH banding: 16 seeded xxhash64 min-hashes per doc,
-    * 4 bands × 4 rows; docs sharing any band hash become candidates; exact
-    * Jaccard then verifies THE CANDIDATES ONLY — both the estimate and the
-    * exact `jaccard` column are computed from the candidate set joined back
-    * to the shingle relation, so no stage of this plan enumerates all pairs.
-    * Spark-hash-seeded → no SQL oracle (rows-only; DedupSpec pins recall). */
+  /** q32 — MinHash + LSH banding: 16 min-hashes per doc, 4 bands × 4 rows;
+    * docs sharing any band hash become candidates; exact Jaccard then
+    * verifies THE CANDIDATES ONLY — both the estimate and the exact `jaccard`
+    * column are computed from the candidate set joined back to the shingle
+    * relation, so no stage of this plan enumerates all pairs.
+    *
+    * Hash family is PORTABLE: min-hash i = MIN(md5("i:" ++ md5(shingle)))
+    * over the doc's distinct shingles, compared as lowercase-hex strings
+    * (both engines' binary collation orders them identically — the q39/q50
+    * technique), and band hashes are md5 over the ':'-joined row signatures.
+    * That makes the whole query — candidates, estimate, exact verify —
+    * reproducible in DuckDB SQL, flipping q32 from rows-only to fully
+    * hash-checked. Sketch quality is unchanged vs a seeded-xxhash64 family:
+    * md5(seed:…) is an equally uniform permutation proxy per seed. */
   val q32MinHashLsh: Q = Q(
     "q32_dedup_minhash_lsh",
     (s, dir) => {
@@ -253,12 +283,14 @@ object Dedup {
       val ex = shingled(s, dir)
       val sig = memo(s, dir, "minhashSig") {
         ex.groupBy(col("doc_id")).agg(
-          min(xxhash64(lit(0), col("h"))).as("mh0"),
-          (1 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"mh$i")): _*)
+          min(md5(concat(lit("0:"), col("m")).cast("binary"))).as("mh0"),
+          (1 until numHashes).map(i =>
+            min(md5(concat(lit(s"$i:"), col("m")).cast("binary"))).as(s"mh$i")): _*)
           .persist(StorageLevel.MEMORY_AND_DISK) // referenced from three join sides
       }
       val bandCols = (0 until bandsN).map { b =>
-        xxhash64((lit(b) +: (0 until rows).map(r => col(s"mh${b * rows + r}"))): _*).as(s"band$b")
+        md5(concat_ws(":", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
+          .cast("binary")).as(s"band$b")
       }
       val banded = sig.select((col("doc_id") +: bandCols): _*)
       val exploded = banded.select(col("doc_id"),
@@ -280,12 +312,14 @@ object Dedup {
             .reduce(_ + _) / numHashes)
         .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
       // exact verify on candidates only: join each candidate pair back to the
-      // shingle relation on both doc ids, count shared shingles. Candidate
-      // set ≪ all pairs, so the join is (small candidates) ⋈ (linear shingle
-      // relation) — broadcastable at test scale, a keyed shuffle at 100 TB.
+      // shingle relation on both doc ids, count shared shingles (via the
+      // narrow long identity `h` — the cached scan prunes `m` away). The
+      // candidate set ≪ all pairs, so the join is (small candidates) ⋈
+      // (linear shingle relation) — broadcastable at test scale, a keyed
+      // shuffle at 100 TB.
       val nsh = shingleCounts(s, dir)
-      val ea = ex.toDF("doc_a", "h")
-      val eb = ex.toDF("doc_b", "h")
+      val ea = ex.select(col("doc_id").as("doc_a"), col("h"))
+      val eb = ex.select(col("doc_id").as("doc_b"), col("h"))
       val verified = candidates
         .join(ea, Seq("doc_a"))
         .join(eb, Seq("doc_b", "h"))
@@ -300,42 +334,100 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
           coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
     },
-    None)
+    Some {
+      val numHashes = 16
+      val mhDefs = (0 until numHashes)
+        .map(i => s"    min(md5('$i:' || m)) AS mh$i").mkString(",\n")
+      val bandDefs = (0 until 4)
+        .map(b => (0 until 4).map(r => s"mh${b * 4 + r}").mkString("md5(", " || ':' || ", ")"))
+        .mkString("[", ", ", "]")
+      val estSum = (0 until numHashes)
+        .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1.0 ELSE 0.0 END")
+        .mkString(" + ")
+      s"""WITH $shingleOracleCte,
+         |sig AS (
+         |  SELECT doc_id,
+         |$mhDefs
+         |  FROM exm GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id,
+         |    unnest([0, 1, 2, 3]) AS band_idx,
+         |    unnest($bandDefs) AS band_hash
+         |  FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT doc_a, doc_b, ($estSum) / $numHashes AS est_jaccard
+         |  FROM cand
+         |  JOIN sig sa ON sa.doc_id = cand.doc_a
+         |  JOIN sig sb ON sb.doc_id = cand.doc_b),
+         |nsh AS (SELECT DISTINCT doc_id, n_sh FROM exm),
+         |common AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+         |  FROM cand c
+         |  JOIN exm a ON a.doc_id = c.doc_a
+         |  JOIN exm b ON b.doc_id = c.doc_b AND b.m = a.m
+         |  GROUP BY 1, 2),
+         |verified AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) AS jaccard
+         |  FROM common
+         |  JOIN nsh na ON na.doc_id = common.doc_a
+         |  JOIN nsh nb ON nb.doc_id = common.doc_b)
+         |SELECT e.doc_a, e.doc_b, e.est_jaccard, COALESCE(v.jaccard, 0.0) AS jaccard
+         |FROM est e LEFT JOIN verified v
+         |  ON v.doc_a = e.doc_a AND v.doc_b = e.doc_b""".stripMargin
+    })
 
-  /** q33 — SimHash: 64-bit signature from per-shingle hash bit votes;
-    * near-dup pairs = hamming distance ≤ 10 (random docs sit near hamming 32,
+  /** q33 — SimHash: 60-bit signature from per-shingle hash bit votes;
+    * near-dup pairs = hamming distance ≤ 10 (random docs sit near hamming 30,
     * so ≤10 isolates true near-dups). Features are 3-gram shingles, not
     * words: the synthetic vocabulary is tiny, so word SETS are nearly
     * identical across all docs and carry no signal, while shingles are
     * near-unique per doc.
     *
+    * The per-shingle hash is PORTABLE: the first 15 hex nibbles of the
+    * md5 identity `m` give 60 independent bits, extracted nibble-wise
+    * (`conv(hexchar)` here, `strpos('0123…f', hexchar)` in the oracle), so
+    * signatures — and therefore the whole pair set — are reproducible in
+    * DuckDB SQL: q33 is fully hash-checked, not rows-only.
+    *
     * Candidate generation is BANDED, not all-pairs: the signature splits
-    * into 11 exact bands (9×6 bits + 2×5 bits). Pigeonhole: a pair at
-    * hamming ≤ 10 differs in at most 10 bit positions, so with 11 disjoint
-    * bands at least one band is bit-identical — the (band_idx, band_bits)
-    * equi-join therefore has perfect recall for the ≤10 threshold, and the
-    * hamming filter on candidates removes false positives. No cartesian /
-    * nested-loop stage anywhere in the plan. At 100 TB you widen the
-    * signature (e.g. 128/256-bit = several longs) so each band carries
-    * 11+ bits and bucket sizes stay sub-linear; the plan shape is identical.
-    * Spark-hash-based → rows-only (DedupSpec pins recall + noise). */
+    * into 11 disjoint bands (5×6 bits + 6×5 bits). Pigeonhole: a pair at
+    * hamming ≤ 10 differs in at most 10 bit positions, so at least one band
+    * is bit-identical — the (band_idx, band_bits) equi-join has perfect
+    * recall for the ≤10 threshold, and the hamming filter on candidates
+    * removes false positives; the banded result is therefore EXACTLY the
+    * all-pairs-filter result, which is what the oracle computes (all-pairs
+    * is fine for DuckDB at sf0.01; the Spark plan has no cartesian stage).
+    * At 100 TB you widen the signature (several longs) so each band carries
+    * 11+ bits and bucket sizes stay sub-linear; the plan shape is identical. */
   val q33SimHash: Q = Q(
     "q33_dedup_simhash",
     (s, dir) => {
-      val bits = 64
-      val votes = shingled(s, dir).groupBy(col("doc_id")).agg(
-        sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("v0"),
+      val bits = 60
+      // 15 nibble values 0..15 from the md5 hex identity, then one ±1 vote
+      // per bit; all 60 sums aggregate in a single shuffle.
+      val nibbled = shingled(s, dir).select(
+        (col("doc_id") +: (0 until 15).map(p =>
+          conv(substring(col("m"), p + 1, 1), 16, 10).cast("int").as(s"nib$p"))): _*)
+      val votes = nibbled.groupBy(col("doc_id")).agg(
+        sum(when(shiftright(col("nib0"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("v0"),
         (1 until bits).map(b =>
-          sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")): _*)
+          sum(when(shiftright(col(s"nib${b / 4}"), b % 4).bitwiseAND(1) === 1, 1)
+            .otherwise(-1)).as(s"v$b")): _*)
       val sim = memo(s, dir, "simhashSig") {
         votes.select(col("doc_id"),
           (0 until bits).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
             .reduce(_ + _).as("simhash"))
           .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the band join
       }
-      // 11 disjoint bands: arithmetic shiftright + mask (mask clears the
-      // sign-extension of the top band).
-      val widths = Seq(6, 6, 6, 6, 6, 6, 6, 6, 6, 5, 5)
+      // 11 disjoint bands over the 60 bits (all values positive — no
+      // sign-extension to mask, but the mask keeps each band's width exact).
+      val widths = Seq(6, 6, 6, 6, 6, 5, 5, 5, 5, 5, 5)
       val offsets = widths.scanLeft(0)(_ + _).init
       val bandCols = widths.indices.map { b =>
         shiftright(col("simhash"), offsets(b)).bitwiseAND(lit((1L << widths(b)) - 1))
@@ -355,7 +447,33 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"),
           col("hamming").cast("long").as("hamming"))
     },
-    None)
+    Some {
+      val bits = 60
+      val voteDefs = (0 until bits).map { b =>
+        s"    SUM(CASE WHEN (nib${b / 4} >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v$b"
+      }.mkString(",\n")
+      val nibDefs = (0 until 15)
+        .map(p => s"    strpos('0123456789abcdef', substr(m, ${p + 1}, 1)) - 1 AS nib$p")
+        .mkString(",\n")
+      val simSum = (0 until bits)
+        .map(b => s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $shingleOracleCte,
+         |nib AS (
+         |  SELECT doc_id,
+         |$nibDefs
+         |  FROM exm),
+         |votes AS (
+         |  SELECT doc_id,
+         |$voteDefs
+         |  FROM nib GROUP BY doc_id),
+         |sim AS (SELECT doc_id, $simSum AS simhash FROM votes)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  a.simhash AS sim_a, b.simhash AS sim_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10""".stripMargin
+    })
 
   /** q34 — embedding-cosine near-dup pairs (brute force at test scale; the
     * LSH-bucketed scale paths are q36 top-k and q38 pairs). Sequential-fold
