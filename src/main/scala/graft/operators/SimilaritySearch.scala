@@ -118,23 +118,35 @@ object SimilaritySearch {
          |WHERE rank <= 5""".stripMargin
     })
 
-  /** q37 — IVF-style ANN: a coarse quantizer (here: per-label centroids,
-    * computed distributively via posexplode + per-dimension avg) partitions
-    * the corpus; each query probes its 2 nearest centroids and searches only
-    * those inverted lists. The probe join is broadcast (centroids are tiny);
-    * the list search shuffles on the centroid id. Double-mean centroids are
-    * aggregation-order-dependent → rows-only check; `SimilaritySpec` pins
-    * recall against the brute-force baseline. */
+  /** q37 — IVF-style ANN: a coarse quantizer (here: per-label centroids)
+    * partitions the corpus; each query probes its 2 nearest centroids and
+    * searches only those inverted lists. The probe join is broadcast
+    * (centroids are tiny); the list search shuffles on the centroid id.
+    *
+    * Centroids are ORDER-INDEPENDENT and engine-portable: each component is
+    * quantized to the 2^-20 grid with `floor(x·2^20 + 0.5)` — exact in
+    * double arithmetic for float32 inputs (the product by a power of two is
+    * exact; the +0.5 sum stays within 53 mantissa bits), so both engines
+    * compute the identical BIGINT — summed exactly per dimension, and
+    * divided ONCE in double at the end (the q53 exact-sum technique). A
+    * double `avg` would be aggregation-order-dependent and unverifiable;
+    * this quantized mean differs from the float mean by < 2^-20 per
+    * component, is bitwise-reproducible in DuckDB SQL, and leaves q37 fully
+    * hash-checked. `SimilaritySpec` still pins recall vs brute force. */
   val q37IvfTopK: Q = Q(
     "q37_ann_ivf",
     (s, dir) => {
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), Similarity.toDoubleArray(col("embedding")).as("emb"))
         .withColumn("nrm", Similarity.norm(col("emb")))
-      // centroid per label: elementwise mean (64 dims → tiny result)
+      // centroid per label: elementwise quantized mean (64 dims → tiny
+      // result); exact integer sums make the aggregate order-independent.
       val centroids = e
         .select(col("label"), posexplode(col("emb")).as(Seq("d", "x")))
-        .groupBy(col("label"), col("d")).agg(avg(col("x")).as("cx"))
+        .groupBy(col("label"), col("d")).agg(
+          sum(floor(col("x") * lit(1048576.0) + lit(0.5)).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .withColumn("cx", col("s").cast("double") / (col("n") * lit(1048576L)).cast("double"))
         .groupBy(col("label"))
         .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))), s => s.getField("cx"))
           .as("cemb"))
@@ -161,7 +173,124 @@ object SimilaritySearch {
         .select(col("q_id"), col("vec_id").as("neighbor_id"), col("label").cast("long").as("probed_label"),
           col("cosine"), col("rank"))
     },
-    None)
+    Some("""WITH e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings),
+      |comp AS (
+      |  SELECT label, unnest(range(1, len(emb) + 1)) AS d, unnest(emb) AS x FROM e),
+      |csum AS (
+      |  SELECT label, d, SUM(CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS s,
+      |         COUNT(*) AS n
+      |  FROM comp GROUP BY label, d),
+      |cent AS (
+      |  SELECT label,
+      |    list(CAST(s AS DOUBLE) / CAST(n * 1048576 AS DOUBLE) ORDER BY d) AS cemb
+      |  FROM csum GROUP BY label),
+      |centn AS (
+      |  SELECT label, cemb, sqrt(list_dot_product(cemb, cemb)) AS cnrm FROM cent),
+      |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM e WHERE vec_id < 8),
+      |probed AS (
+      |  SELECT q_id, q_emb, q_nrm, label FROM (
+      |    SELECT q.q_id, q.q_emb, q.q_nrm, c.label,
+      |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+      |        list_dot_product(q.q_emb, c.cemb) / (q.q_nrm * c.cnrm) DESC,
+      |        c.label ASC) AS c_rank
+      |    FROM q CROSS JOIN centn c) p
+      |  WHERE c_rank <= 2),
+      |scored AS (
+      |  SELECT p.q_id, e.vec_id AS neighbor_id, CAST(e.label AS BIGINT) AS probed_label,
+      |         list_dot_product(e.emb, p.q_emb) / (e.nrm * p.q_nrm) AS cosine
+      |  FROM probed p JOIN e ON e.label = p.label AND e.vec_id <> p.q_id)
+      |SELECT q_id, neighbor_id, probed_label, cosine, rank FROM (
+      |  SELECT q_id, neighbor_id, probed_label, cosine,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |           ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+      |  FROM scored) r
+      |WHERE rank <= 5""".stripMargin))
 
-  val all: Seq[Q] = Seq(q35BruteForceTopK, q36LshTopK, q37IvfTopK)
+  /** The 4-bands × 4-planes family for q38: 16 Rademacher (±1-entry)
+    * hyperplanes from a splitmix-style integer mixer, embedded as literals
+    * in both the Spark plan and the oracle SQL (like `lshPlanes`, but a
+    * proper independent family — the q36 modular formula repeats planes past
+    * p=6). Band b uses planes 4b..4b+3. */
+  private[operators] val pairPlanes: Seq[Array[Double]] =
+    (0 until 16).map { p =>
+      Array.tabulate(64) { d =>
+        var x = (p * 64 + d).toLong * 0x9E3779B97F4A7C15L
+        x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+        x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+        if (((x ^ (x >>> 31)) & 1L) == 1L) 1.0 else -1.0
+      }
+    }
+
+  /** q38 — embedding-LSH near-dup PAIRS: the scale-safe replacement for
+    * q34's all-pairs baseline (`Dedup.q34EmbeddingDups` remains the declared
+    * exact ground truth; `SimilaritySpec` pins this query's recall against
+    * it). OR-construction: 4 independent band tables, each a 4-bit sign code
+    * from `pairPlanes`; a pair becomes a candidate if it collides in ANY
+    * band (a self equi-join on (band_idx, bucket) — shuffle on the bucket,
+    * no cartesian stage), then the exact cosine verifies candidates only.
+    * Collision probability per band for angle θ is (1-θ/π)^4, so 4 bands
+    * give ~46% recall at cosine 0.35 and >90% at cosine 0.8 — raise the
+    * band count for higher recall at 100 TB; the plan shape — code, bucket
+    * equi-join, distinct, verify-on-candidates — is unchanged. Fully
+    * oracle-checked thanks to the literal planes. */
+  val q38LshPairs: Q = Q(
+    "q38_dedup_embedding_lsh",
+    (s, dir) => {
+      def bandCode(embCol: org.apache.spark.sql.Column, b: Int) =
+        (0 until 4).map { i =>
+          when(Similarity.dot(embCol, typedLit(pairPlanes(b * 4 + i))) > 0, lit(1 << i))
+            .otherwise(lit(0))
+        }.reduce(_ + _)
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.toDoubleArray(col("embedding")).as("emb"))
+        .withColumn("nrm", Similarity.norm(col("emb")))
+      val banded = e.select(col("vec_id"),
+        posexplode(array((0 until 4).map(b => bandCode(col("emb"), b)): _*))
+          .as(Seq("band_idx", "bucket")))
+      val ca = banded.toDF("vec_a", "band_idx", "bucket")
+      val cb = banded.toDF("vec_b", "band_idx_b", "bucket_b")
+      val candidates = ca.join(cb,
+          col("band_idx") === col("band_idx_b") &&
+          col("bucket") === col("bucket_b") &&
+          col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b")).distinct()
+      val ea = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+      val eb = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+      candidates.join(ea, "vec_a").join(eb, "vec_b")
+        .withColumn("cosine",
+          Similarity.cosinePre(Similarity.dot(col("emb_a"), col("emb_b")),
+            col("nrm_a"), col("nrm_b")))
+        .filter(col("cosine") >= 0.35)
+        .select(col("vec_a"), col("vec_b"), col("cosine"))
+    },
+    Some {
+      def planeSql(plane: Array[Double]) = plane.mkString("[", ", ", "]")
+      def bandSql(b: Int) = (0 until 4).map { i =>
+        s"(CASE WHEN list_dot_product(emb, ${planeSql(pairPlanes(b * 4 + i))}) > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+      val bandList = (0 until 4).map(bandSql).mkString("[", ", ", "]")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |banded AS (
+         |  SELECT vec_id, unnest([0, 1, 2, 3]) AS band_idx, unnest($bandList) AS bucket
+         |  FROM e),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM banded x JOIN banded y
+         |    ON x.band_idx = y.band_idx AND x.bucket = y.bucket
+         |   AND x.vec_id < y.vec_id)
+         |SELECT c.vec_a, c.vec_b,
+         |  list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cosine
+         |FROM cand c
+         |JOIN e a ON a.vec_id = c.vec_a
+         |JOIN e b ON b.vec_id = c.vec_b
+         |WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.35""".stripMargin
+    })
+
+  val all: Seq[Q] = Seq(q35BruteForceTopK, q36LshTopK, q37IvfTopK, q38LshPairs)
 }

@@ -64,6 +64,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.0, s"IVF recalled nothing of the brute-force top-5")
   }
 
+  test("LSH pair search finds only true near-dup pairs, with bucket-limited recall") {
+    import graft.operators.{Dedup, SimilaritySearch}
+    val exact = Dedup.q34EmbeddingDups.run(spark, TestSpark.sf0001)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilaritySearch.q38LshPairs.run(spark, TestSpark.sf0001)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // soundness: every LSH pair passes the same exact-cosine threshold, so
+    // it must be a subset of the all-pairs ground truth
+    assert(lsh.subsetOf(exact), s"LSH emitted ${(lsh -- exact).size} non-near-dup pairs")
+    // recall is bucket-limited by design; with 4 planes it must still find
+    // a non-trivial share of the true pairs
+    val recall = if (exact.isEmpty) 1.0 else exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.2, s"LSH pair recall $recall over ${exact.size} true pairs")
+  }
+
   test("optimizer rule rewrites the HOF dot pattern to the native expression, bit-exact") {
     val prev = spark.experimental.extraOptimizations
     // a real scan, so constant folding can't pre-evaluate the projection
