@@ -126,26 +126,44 @@ object Events {
       |GROUP BY 1, 2""".stripMargin))
 
   /** Sketch aggregates (HLL distinct, approx quantiles) next to their exact
-    * counterparts. Engine-specific sketch implementations differ, so this is
-    * a rows-only check; the spec asserts the approx values sit within the
-    * documented error bound of the exact ones. */
+    * counterparts. Raw sketch estimates are engine-specific (HLL++ /
+    * Greenwald-Khanna internals), so instead of emitting unverifiable raw
+    * values the query emits its exact columns PLUS the sketches' documented
+    * error-bound CLAIMS as booleans (|approx−exact| within 5% for HLL
+    * distinct, 2% for the accuracy-10000 median) — deterministic for fixed
+    * data, so the oracle checks the exact columns and that every bound
+    * holds (`TRUE` literals on the oracle side): the deterministic half is
+    * hash-checked and only the raw sketch values stay outside the oracle
+    * (EventsSpec pins those at sf0.001). */
   val q19Sketches: Q = Q(
     "q19_events_sketches",
     (s, dir) => Tables(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(
         countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("event_count"),
         approx_count_distinct(col("user_id")).as("approx_users"),
-        percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median_value"),
-        count(lit(1)).as("event_count")),
-    None)
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median"),
+        expr("percentile(value, 0.5)").as("exact_median"))
+      .select(col("event_type"), col("exact_users"), col("event_count"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") <=
+          col("exact_users") * 0.05).as("approx_users_ok"),
+        (abs(col("approx_median") - col("exact_median")) <=
+          abs(col("exact_median")) * 0.02 + 1e-9).as("approx_median_ok")),
+    Some("""SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+      |  COUNT(*) AS event_count,
+      |  TRUE AS approx_users_ok, TRUE AS approx_median_ok
+      |FROM events GROUP BY event_type""".stripMargin))
 
   /** Mergeable HLL sketches (Apache DataSketches built-ins): per-type
     * sketches estimated locally, then UNIONED into a global estimate — the
     * reaggregation property that makes 100 TB distinct counts cheap
     * (pre-aggregated sketches per partition/day merge without rescanning).
-    * Engine-specific binary sketches → rows-only; EventsSpec bounds the
-    * error vs exact. */
+    * The binary sketches are engine-specific, so — like q19 — the query
+    * emits exact counts plus the union-estimate error-bound claim as a
+    * boolean (|estimate−exact| ≤ 5%), which the oracle checks with `TRUE`
+    * literals: every column is hash-checked, and only the raw estimates
+    * stay spec-pinned (EventsSpec). */
   val q49HllUnion: Q = Q(
     "q49_hll_union",
     (s, dir) => {
@@ -160,8 +178,15 @@ object Events {
         .crossJoin(ev.agg(countDistinct(col("user_id")).as("exact_users")))
         .select(lit("__all__").as("event_type"), col("exact_users"), col("hll_users"))
       typed.unionByName(overall)
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("hll_users") - col("exact_users")).cast("double") <=
+            col("exact_users") * 0.05).as("hll_ok"))
     },
-    None)
+    Some("""SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS hll_ok
+      |FROM events GROUP BY event_type
+      |UNION ALL
+      |SELECT '__all__' AS event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS hll_ok
+      |FROM events""".stripMargin))
 
   /** Stratified sampling (training-data subsampling): per-stratum fractions
     * via a DETERMINISTIC hash-threshold sampler — keep a row iff the first

