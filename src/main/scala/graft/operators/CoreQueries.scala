@@ -670,19 +670,25 @@ object CoreQueries {
 
   /** Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match
     * NULL keys instead of dropping — the dimension-with-unknown-bucket join
-    * shape. Keys made nullable via NULLIF on the extracted JSON field. */
+    * shape. Keys made nullable via NULLIF on the extracted JSON field.
+    * The events side is aggregated per key FIRST and the dimension derived
+    * from the aggregate, so the JSON parse + scan run once (the two
+    * branches share one exchange, deduped by ReuseExchange) and the
+    * null-safe join touches only key-cardinality relations — at 100 TB the
+    * join cost is |distinct keys|, not |events|. */
   val q59NullSafeJoin: Q = Q(
     "q59_nullsafe_join",
     (s, dir) => {
-      val ev = Tables(s, dir, "events")
-        .select(col("event_id"),
+      val perKey = Tables(s, dir, "events")
+        .select(
           nullif(get_json_object(col("props"), "$.k").cast("long"), lit(0L)).as("k"))
-      val keys = ev.select(col("k").as("dim_k")).distinct()
+        .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      val keys = perKey.select(col("k").as("dim_k"))
         .withColumn("bucket_name",
           coalesce(concat(lit("k_"), col("dim_k")), lit("k_unknown")))
-      ev.join(keys, col("k") <=> col("dim_k"))
+      perKey.join(keys, col("k") <=> col("dim_k"))
         .groupBy(col("bucket_name"))
-        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("cnt")).as("n"))
     },
     Some("""WITH ev AS (
       |  SELECT event_id,
