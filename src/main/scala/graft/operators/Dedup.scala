@@ -59,10 +59,13 @@ object Dedup {
   /** Exploded, hashed, per-doc-distinct shingle relation shared by the whole
     * family, carrying TWO identities per word-3-gram: `h` = xxhash64 (an
     * 8-byte long — the narrow join/shuffle key for the exact-pair paths; see
-    * the collision bound in the object doc) and `m` = md5 hex (32 chars —
-    * engine-portable, so the sketch queries built on it are reproducible in
-    * DuckDB SQL and fully oracle-checkable). Columns prune at the cached-scan,
-    * so paths that only need `h` never shuffle the wider `m`. Dedup happens
+    * the collision bound in the object doc) and `x60` = the first 15 hex
+    * nibbles of md5(shingle) as a 60-bit long — engine-portable (DuckDB:
+    * `('0x' || substr(md5(shingle), 1, 15))::BIGINT`), so the sketch queries
+    * built on it are reproducible in DuckDB SQL and fully oracle-checkable,
+    * while every per-row sketch operation downstream (min-hash family,
+    * simhash bit votes) is pure integer arithmetic — exactly ONE md5 is ever
+    * computed per shingle. Columns prune at the cached-scan. Dedup happens
     * row-wise after explode: the distinct shuffle is narrow, and row-level
     * `array_distinct` over the HOF-produced shingle array measures 5× slower
     * (interpreted path) than this shape. Persisted + memoized: every sketch
@@ -79,7 +82,8 @@ object Dedup {
         .select(col("doc_id"),
           explode(TextAnalysis.shingles(col("w"))).as("shingle"))
         .select(col("doc_id"), xxhash64(col("shingle")).as("h"),
-          md5(col("shingle").cast("binary")).as("m"))
+          conv(substring(md5(col("shingle").cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("x60"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
@@ -99,7 +103,23 @@ object Dedup {
        |  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
        |  FROM sh WHERE len(shingles) > 0),
        |exm AS (
-       |  SELECT doc_id, n_sh, md5(shingle) AS m FROM exs)""".stripMargin
+       |  SELECT doc_id, n_sh,
+       |    ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS x60 FROM exs)""".stripMargin
+
+  /** 2-universal min-hash family constants for q32: p = 2^31−1 (Mersenne),
+    * (a_i, b_i) from a splitmix mixer — embedded as literals in both the
+    * Spark plan and the oracle SQL. */
+  private val MinHashP = 2147483647L
+  private def mix(z0: Long): Long = {
+    var x = z0 * 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+  private[operators] val minHashA: IndexedSeq[Long] =
+    (0 until 16).map(i => java.lang.Long.remainderUnsigned(mix(2L * i + 1), MinHashP - 1) + 1)
+  private[operators] val minHashB: IndexedSeq[Long] =
+    (0 until 16).map(i => java.lang.Long.remainderUnsigned(mix(2L * i + 2), MinHashP))
 
   /** Per-doc distinct-shingle counts (the Jaccard denominators). Derived
     * from the cached shingle relation on demand — 1 row per doc, so it
@@ -266,14 +286,15 @@ object Dedup {
     * column are computed from the candidate set joined back to the shingle
     * relation, so no stage of this plan enumerates all pairs.
     *
-    * Hash family is PORTABLE: min-hash i = MIN(md5("i:" ++ md5(shingle)))
-    * over the doc's distinct shingles, compared as lowercase-hex strings
-    * (both engines' binary collation orders them identically — the q39/q50
-    * technique), and band hashes are md5 over the ':'-joined row signatures.
-    * That makes the whole query — candidates, estimate, exact verify —
-    * reproducible in DuckDB SQL, flipping q32 from rows-only to fully
-    * hash-checked. Sketch quality is unchanged vs a seeded-xxhash64 family:
-    * md5(seed:…) is an equally uniform permutation proxy per seed. */
+    * Hash family is PORTABLE and pure integer arithmetic: min-hash i =
+    * MIN((a_i·(x60 mod p) + b_i) mod p) with p = 2^31−1 and literal
+    * (a_i, b_i) constants shared with the oracle SQL — a classic
+    * 2-universal family over the portable 60-bit shingle identity, so the
+    * whole query — candidates, estimate, exact verify — is reproducible in
+    * DuckDB SQL and fully hash-checked, at the cost of ONE md5 per shingle
+    * (paid once in the shared relation) instead of one per (seed, shingle).
+    * a_i·xm < 2^62 keeps every product inside signed-64 range in both
+    * engines. Band keys are the ':'-joined decimal row signatures. */
   val q32MinHashLsh: Q = Q(
     "q32_dedup_minhash_lsh",
     (s, dir) => {
@@ -282,15 +303,16 @@ object Dedup {
       val rows = numHashes / bandsN
       val ex = shingled(s, dir)
       val sig = memo(s, dir, "minhashSig") {
+        val xm = col("x60") % MinHashP
         ex.groupBy(col("doc_id")).agg(
-          min(md5(concat(lit("0:"), col("m")).cast("binary"))).as("mh0"),
+          min((xm * minHashA(0) + minHashB(0)) % MinHashP).as("mh0"),
           (1 until numHashes).map(i =>
-            min(md5(concat(lit(s"$i:"), col("m")).cast("binary"))).as(s"mh$i")): _*)
+            min((xm * minHashA(i) + minHashB(i)) % MinHashP).as(s"mh$i")): _*)
           .persist(StorageLevel.MEMORY_AND_DISK) // referenced from three join sides
       }
       val bandCols = (0 until bandsN).map { b =>
-        md5(concat_ws(":", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
-          .cast("binary")).as(s"band$b")
+        concat_ws(":", (0 until rows).map(r => col(s"mh${b * rows + r}").cast("string")): _*)
+          .as(s"band$b")
       }
       val banded = sig.select((col("doc_id") +: bandCols): _*)
       val exploded = banded.select(col("doc_id"),
@@ -337,9 +359,11 @@ object Dedup {
     Some {
       val numHashes = 16
       val mhDefs = (0 until numHashes)
-        .map(i => s"    min(md5('$i:' || m)) AS mh$i").mkString(",\n")
+        .map(i => s"    min(((x60 % ${MinHashP}) * ${minHashA(i)} + ${minHashB(i)}) % ${MinHashP}) AS mh$i")
+        .mkString(",\n")
       val bandDefs = (0 until 4)
-        .map(b => (0 until 4).map(r => s"mh${b * 4 + r}").mkString("md5(", " || ':' || ", ")"))
+        .map(b => (0 until 4).map(r => s"CAST(mh${b * 4 + r} AS VARCHAR)")
+          .mkString(" || ':' || "))
         .mkString("[", ", ", "]")
       val estSum = (0 until numHashes)
         .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1.0 ELSE 0.0 END")
@@ -369,7 +393,7 @@ object Dedup {
          |  SELECT c.doc_a, c.doc_b, COUNT(*) AS common
          |  FROM cand c
          |  JOIN exm a ON a.doc_id = c.doc_a
-         |  JOIN exm b ON b.doc_id = c.doc_b AND b.m = a.m
+         |  JOIN exm b ON b.doc_id = c.doc_b AND b.x60 = a.x60
          |  GROUP BY 1, 2),
          |verified AS (
          |  SELECT doc_a, doc_b,
@@ -389,11 +413,11 @@ object Dedup {
     * identical across all docs and carry no signal, while shingles are
     * near-unique per doc.
     *
-    * The per-shingle hash is PORTABLE: the first 15 hex nibbles of the
-    * md5 identity `m` give 60 independent bits, extracted nibble-wise
-    * (`conv(hexchar)` here, `strpos('0123…f', hexchar)` in the oracle), so
-    * signatures — and therefore the whole pair set — are reproducible in
-    * DuckDB SQL: q33 is fully hash-checked, not rows-only.
+    * The per-shingle hash is PORTABLE: the shared relation's `x60` identity
+    * (60 md5-derived bits as a long) supplies the bit votes via plain
+    * integer shift/mask in BOTH engines, so signatures — and therefore the
+    * whole pair set — are reproducible in DuckDB SQL: q33 is fully
+    * hash-checked, not rows-only.
     *
     * Candidate generation is BANDED, not all-pairs: the signature splits
     * into 11 disjoint bands (5×6 bits + 6×5 bits). Pigeonhole: a pair at
@@ -409,15 +433,12 @@ object Dedup {
     "q33_dedup_simhash",
     (s, dir) => {
       val bits = 60
-      // 15 nibble values 0..15 from the md5 hex identity, then one ±1 vote
-      // per bit; all 60 sums aggregate in a single shuffle.
-      val nibbled = shingled(s, dir).select(
-        (col("doc_id") +: (0 until 15).map(p =>
-          conv(substring(col("m"), p + 1, 1), 16, 10).cast("int").as(s"nib$p"))): _*)
-      val votes = nibbled.groupBy(col("doc_id")).agg(
-        sum(when(shiftright(col("nib0"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("v0"),
+      // one ±1 vote per bit of the portable identity; all 60 sums aggregate
+      // in a single shuffle.
+      val votes = shingled(s, dir).groupBy(col("doc_id")).agg(
+        sum(when(shiftright(col("x60"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("v0"),
         (1 until bits).map(b =>
-          sum(when(shiftright(col(s"nib${b / 4}"), b % 4).bitwiseAND(1) === 1, 1)
+          sum(when(shiftright(col("x60"), b).bitwiseAND(1) === 1, 1)
             .otherwise(-1)).as(s"v$b")): _*)
       val sim = memo(s, dir, "simhashSig") {
         votes.select(col("doc_id"),
@@ -450,23 +471,16 @@ object Dedup {
     Some {
       val bits = 60
       val voteDefs = (0 until bits).map { b =>
-        s"    SUM(CASE WHEN (nib${b / 4} >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v$b"
+        s"    SUM(CASE WHEN (x60 >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b"
       }.mkString(",\n")
-      val nibDefs = (0 until 15)
-        .map(p => s"    strpos('0123456789abcdef', substr(m, ${p + 1}, 1)) - 1 AS nib$p")
-        .mkString(",\n")
       val simSum = (0 until bits)
         .map(b => s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
         .mkString(" + ")
       s"""WITH $shingleOracleCte,
-         |nib AS (
-         |  SELECT doc_id,
-         |$nibDefs
-         |  FROM exm),
          |votes AS (
          |  SELECT doc_id,
          |$voteDefs
-         |  FROM nib GROUP BY doc_id),
+         |  FROM exm GROUP BY doc_id),
          |sim AS (SELECT doc_id, $simSum AS simhash FROM votes)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  a.simhash AS sim_a, b.simhash AS sim_b,
