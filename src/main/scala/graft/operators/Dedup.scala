@@ -517,5 +517,81 @@ object Dedup {
       |WHERE list_dot_product(a.emb, b.emb) /
       |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.35""".stripMargin))
 
-  val all: Seq[Q] = Seq(q30ExactDedup, q31NgramJaccard, q32MinHashLsh, q33SimHash, q34EmbeddingDups, q48DedupClusters)
+  /** q60 — dedup SURVIVORSHIP: the endpoint a training-data pipeline
+    * actually ships — near-dup clusters (q48's label-propagation components
+    * over Jaccard ≥ 0.5 pairs, singletons as their own cluster) resolved to
+    * ONE kept document per cluster by quality score (q24's formula), ties
+    * pinned to the lowest doc_id. Survivor selection is a per-cluster
+    * window (`first_value` ordered by quality desc, doc_id asc) — both
+    * engines order the bitwise-identical doubles identically, so the whole
+    * query is hash-checked. Scale: quality is per-row, the window
+    * partitions by cluster (cluster sizes are near-dup group sizes — small
+    * by construction), and the component loop is q48's O(diameter) rounds. */
+  val q60DedupSurvivors: Q = Q(
+    "q60_dedup_survivors",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val stopArr = array(TextAnalysis.stopwords.map(lit): _*)
+      val quality = Tables(s, dir, "documents")
+        .withColumn("w", TextAnalysis.words(col("text")))
+        .withColumn("word_count", size(col("w")).cast("long"))
+        .select(col("doc_id"),
+          (least(col("word_count").cast("double") / lit(100.0), lit(1.0)) * lit(0.3)
+            + size(array_distinct(col("w"))).cast("double") / col("word_count") * lit(0.4)
+            + (lit(1.0) - size(filter(col("w"), x => array_contains(stopArr, x))).cast("double")
+                / col("word_count")) * lit(0.3)).as("quality_score"))
+      val edges = jaccardPairs(s, dir).filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val comp = connectedComponents(edges)
+      val labeled = quality.join(comp, Seq("doc_id"), "left")
+        .withColumn("cluster_rep", coalesce(col("cluster_rep"), col("doc_id")))
+      val win = Window.partitionBy(col("cluster_rep"))
+        .orderBy(col("quality_score").desc, col("doc_id").asc)
+      labeled
+        .withColumn("survivor_doc", first(col("doc_id")).over(win))
+        .withColumn("is_survivor", col("doc_id") === col("survivor_doc"))
+        .withColumn("cluster_size", count(lit(1)).over(
+          Window.partitionBy(col("cluster_rep"))))
+        .select(col("doc_id"), col("cluster_rep"), col("survivor_doc"),
+          col("is_survivor"), col("cluster_size"))
+    },
+    Some(s"""WITH RECURSIVE ${jaccardPairsOracle(0.5)},
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS doc FROM edges),
+       |reach(doc, r) AS (
+       |  SELECT doc, doc FROM nodes
+       |  UNION
+       |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.doc),
+       |labeled AS (
+       |  SELECT doc AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY doc),
+       |qual AS (
+       |  SELECT doc_id,
+       |    least(CAST(word_count AS DOUBLE) / 100.0, 1.0) * 0.3
+       |      + distinct_ratio * 0.4
+       |      + (1.0 - stopword_ratio) * 0.3 AS quality_score
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len(w) AS BIGINT) AS word_count,
+       |      CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS BIGINT) AS distinct_ratio,
+       |      CAST(len(list_filter(w, x -> list_contains(['the','a','of','and'], x))) AS DOUBLE)
+       |        / CAST(len(w) AS BIGINT) AS stopword_ratio
+       |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |          FROM documents) raw) feat),
+       |fullc AS (
+       |  SELECT q.doc_id, COALESCE(l.cluster_rep, q.doc_id) AS cluster_rep,
+       |         q.quality_score
+       |  FROM qual q LEFT JOIN labeled l ON l.doc_id = q.doc_id)
+       |SELECT doc_id, cluster_rep,
+       |  FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_rep
+       |    ORDER BY quality_score DESC, doc_id ASC) AS survivor_doc,
+       |  doc_id = FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_rep
+       |    ORDER BY quality_score DESC, doc_id ASC) AS is_survivor,
+       |  COUNT(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+       |FROM fullc""".stripMargin))
+
+  val all: Seq[Q] = Seq(q30ExactDedup, q31NgramJaccard, q32MinHashLsh, q33SimHash,
+    q34EmbeddingDups, q48DedupClusters, q60DedupSurvivors)
 }

@@ -50,4 +50,20 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val docs = graft.sources.Tables(spark, TestSpark.sf0001, "documents").count()
     assert(total == docs)
   }
+
+  test("survivorship covers every doc and keeps exactly one survivor per cluster") {
+    val rows = Dedup.q60DedupSurvivors.run(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val docs = graft.sources.Tables(spark, TestSpark.sf0001, "documents").count()
+    assert(rows.length == docs, "one output row per document")
+    rows.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.count(_._4) == 1, s"cluster $rep: exactly one survivor")
+      val surv = members.map(_._3).distinct
+      assert(surv.length == 1 && members.exists(m => m._1 == surv.head),
+        s"cluster $rep: survivor is a member")
+    }
+    // multi-doc clusters exist at sf0.001 (near-dups are seeded), so
+    // survivorship actually removes something
+    assert(rows.count(!_._4) > 0, "at least one duplicate is dropped")
+  }
 }
