@@ -21,6 +21,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames(2L).length == 1 && frames(2L).head.mean_byte == (97 + 98) / 2.0)
   }
 
+  /** A binary P6 RGB image: 4×2, samples 0..23 → mean 11.5. */
+  private def ppm(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val samples = Array.tabulate(w * h * 3)(i => ((i + seed) % 256).toByte)
+    header ++ samples
+  }
+
+  test("netpbm decode is REAL: true dimensions, channels, and pixel mean") {
+    val img = ppm(4, 2, 0)
+    val gray = "P5\n# a comment\n3 3\n255\n".getBytes("US-ASCII") ++
+      Array.tabulate(9)(i => (i * 10).toByte)
+    val docs = Seq((1L, img), (2L, gray), (3L, "not an image".getBytes("US-ASCII")))
+      .toDF("doc_id", "data").withColumn("n_chars", lit(12L))
+    val out = Multimodal.decodeFeatures(spark, docs).collect().map(f => f.doc_id -> f).toMap
+    assert(out(1L).width == 4 && out(1L).height == 2 && out(1L).channels == 3)
+    assert(out(1L).mean_byte == (0 until 24).sum / 24.0) // true pixel mean, not payload mean
+    assert(out(2L).width == 3 && out(2L).height == 3 && out(2L).channels == 1)
+    assert(out(2L).mean_byte == (0 until 9).map(_ * 10).sum / 9.0)
+    // non-image payloads route to the declared stub (metadata-derived dims)
+    assert(out(3L).width == 64 + 12 % 512 && out(3L).channels == 3)
+  }
+
+  test("truncated or high-maxval netpbm payloads fall back to the stub") {
+    val truncated = ppm(4, 2, 0).dropRight(5)
+    val wide = "P5\n2 2\n65535\n".getBytes("US-ASCII") ++ Array.fill(8)(0.toByte)
+    val docs = Seq((1L, truncated), (2L, wide)).toDF("doc_id", "data")
+      .withColumn("n_chars", lit(7L))
+    val out = Multimodal.decodeFeatures(spark, docs).collect()
+    assert(out.forall(f => f.width == 64 + 7 % 512)) // stub dims, no crash
+  }
+
+  test("frame sampling splits a concatenated netpbm stream into real frames") {
+    val stream = ppm(4, 2, 0) ++ ppm(4, 2, 100) ++ ppm(2, 2, 7)
+    val docs = Seq((9L, stream)).toDF("doc_id", "data")
+    val frames = Multimodal.sampleFrames(spark, docs, maxFrames = 8)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length == 3)
+    assert(frames(0).mean_byte == (0 until 24).map(i => i % 256).sum / 24.0)
+    assert(frames(1).mean_byte == (0 until 24).map(i => (i + 100) % 256).sum / 24.0)
+    assert(frames(2).mean_byte == (0 until 12).map(i => (i + 7) % 256).sum / 12.0)
+    assert(frames.map(_.frame_md5).distinct.length == 3)
+  }
+
   test("decodeFeatures (mapPartitions) matches the declarative feature slice") {
     val docs = Seq((1L, "hello world", 11L), (2L, "abc", 3L))
       .toDF("doc_id", "text", "n_chars")
