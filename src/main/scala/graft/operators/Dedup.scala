@@ -140,11 +140,17 @@ object Dedup {
     * hot shingles. At test scale (max df = 25 on sf0.1) the guard is a no-op
     * and the DuckDB oracle mirrors it verbatim.
     *
-    * Persisted + memoized (MEMORY_AND_DISK): q31 and q48 consume the same
-    * relation; the round-1 GC-pressure concern was measured against
-    * unmemoized per-call MEMORY_ONLY persists that stacked copies. */
-  def jaccardPairs(spark: SparkSession, dir: String, maxDocFreq: Int = 1000): DataFrame =
-    memo(spark, dir, s"jaccardPairs:$maxDocFreq") {
+    * Persisted + memoized (MEMORY_AND_DISK): q31, q48, and q60 consume the
+    * same relation; the round-1 GC-pressure concern was measured against
+    * unmemoized per-call MEMORY_ONLY persists that stacked copies. The
+    * persist holds only pairs at `minJaccard` ≥ 0.1 — every consumer
+    * filters at 0.1 or higher, so caching the ~full pair aggregate (orders
+    * of magnitude larger) would buy nothing (the round-2 bench regression
+    * was exactly that). Callers needing a lower threshold pass it
+    * explicitly and get their own memo entry. */
+  def jaccardPairs(spark: SparkSession, dir: String, maxDocFreq: Int = 1000,
+      minJaccard: Double = 0.1): DataFrame =
+    memo(spark, dir, s"jaccardPairs:$maxDocFreq:$minJaccard") {
       val ex = shingled(spark, dir)
       val nsh = shingleCounts(spark, dir)
       val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -167,6 +173,7 @@ object Dedup {
         .join(nsh.toDF("doc_b", "nb"), "doc_b")
         .withColumn("jaccard",
           col("common").cast("double") / (col("na") + col("nb") - col("common")))
+        .filter(col("jaccard") >= minJaccard)
         .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
           col("common"), col("jaccard"))
         .persist(StorageLevel.MEMORY_AND_DISK)
