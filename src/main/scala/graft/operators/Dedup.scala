@@ -599,6 +599,48 @@ object Dedup {
        |  COUNT(*) OVER (PARTITION BY cluster_rep) AS cluster_size
        |FROM fullc""".stripMargin))
 
+  /** q61 — benchmark CONTAMINATION detection (train/test decontamination):
+    * for every training document, the fraction of its distinct 3-gram
+    * shingles that appear anywhere in the "benchmark" set (stand-in here:
+    * docs with doc_id ≡ 0 mod 100, the held-out suite a real pipeline
+    * would load as its own table). Asymmetric containment — NOT symmetric
+    * Jaccard — because a short benchmark prompt embedded in a long training
+    * doc must still flag, which a Jaccard threshold misses.
+    *
+    * Scale: the benchmark shingle set is tiny relative to the corpus
+    * (benchmark suites are fixed-size), so the hit join broadcasts at real
+    * scale and the only corpus-wide movement is the per-doc aggregate —
+    * linear, no pair enumeration anywhere. */
+  val q61Contamination: Q = Q(
+    "q61_contamination",
+    (s, dir) => {
+      val sh = shingled(s, dir)
+      val benchShingles = sh.filter(col("doc_id") % 100 === 0)
+        .select(col("h")).distinct().withColumn("hit", lit(1))
+      sh.filter(col("doc_id") % 100 =!= 0)
+        .join(benchShingles, Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_sh"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("doc_id"), col("n_sh"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_sh")).as("overlap_frac"),
+          (col("n_hit").cast("double") / col("n_sh") >= 0.5).as("contaminated"))
+    },
+    Some(s"""WITH $shingleOracleCte,
+       |bench AS (
+       |  SELECT DISTINCT shingle FROM exs WHERE doc_id % 100 = 0),
+       |hits AS (
+       |  SELECT e.doc_id, COUNT(*) AS n_sh,
+       |    CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+       |  FROM exs e LEFT JOIN bench b ON b.shingle = e.shingle
+       |  WHERE e.doc_id % 100 <> 0
+       |  GROUP BY e.doc_id)
+       |SELECT doc_id, n_sh, n_hit,
+       |  CAST(n_hit AS DOUBLE) / n_sh AS overlap_frac,
+       |  CAST(n_hit AS DOUBLE) / n_sh >= 0.5 AS contaminated
+       |FROM hits""".stripMargin))
+
   val all: Seq[Q] = Seq(q30ExactDedup, q31NgramJaccard, q32MinHashLsh, q33SimHash,
-    q34EmbeddingDups, q48DedupClusters, q60DedupSurvivors)
+    q34EmbeddingDups, q48DedupClusters, q60DedupSurvivors, q61Contamination)
 }

@@ -66,4 +66,20 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     // survivorship actually removes something
     assert(rows.count(!_._4) > 0, "at least one duplicate is dropped")
   }
+
+  test("contamination detection flags a benchmark doc's near-copy, not unrelated docs") {
+    val rows = Dedup.q61Contamination.run(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // benchmark docs themselves are excluded from the scored corpus
+    assert(rows.forall(_._1 % 100 != 0))
+    // fractions well-formed
+    assert(rows.forall { case (_, nSh, nHit, f) =>
+      nHit <= nSh && f >= 0.0 && f <= 1.0 })
+    // near-dup seeding means SOME doc shares most shingles with a
+    // benchmark doc only if its near-dup partner landed in the benchmark
+    // set; either way the distribution must not be all-zero (common
+    // vocabulary guarantees some overlap) and not all-one
+    assert(rows.exists(_._4 > 0.0) && rows.exists(_._4 < 1.0))
+  }
 }
