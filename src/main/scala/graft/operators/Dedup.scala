@@ -235,18 +235,24 @@ object Dedup {
        |  FROM pairs_all
        |  WHERE CAST(common AS DOUBLE) / (na + nb - common) >= $threshold)""".stripMargin
 
+  /** Memoized component labels for the Jaccard ≥ 0.5 edge set — q48 and q60
+    * both consume them, and the label-propagation loop is multiple Spark
+    * jobs, so one materialization per (session, dir) matters. */
+  private def clusters05(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "clusters05") {
+      val edges = jaccardPairs(spark, dir).filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      connectedComponents(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** q48 — near-dup clustering: Jaccard ≥ 0.5 pairs → connected components
     * → (doc, cluster representative, cluster size). Oracle computes the same
     * min-label components with a recursive CTE. */
   val q48DedupClusters: Q = Q(
     "q48_dedup_clusters",
-    (s, dir) => {
-      val edges = jaccardPairs(s, dir).filter(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"))
-      connectedComponents(edges)
-        .withColumn("cluster_size", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_rep"))))
-    },
+    (s, dir) => clusters05(s, dir)
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_rep")))),
     Some(s"""WITH RECURSIVE ${jaccardPairsOracle(0.5)},
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -547,10 +553,7 @@ object Dedup {
             + size(array_distinct(col("w"))).cast("double") / col("word_count") * lit(0.4)
             + (lit(1.0) - size(filter(col("w"), x => array_contains(stopArr, x))).cast("double")
                 / col("word_count")) * lit(0.3)).as("quality_score"))
-      val edges = jaccardPairs(s, dir).filter(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"))
-      val comp = connectedComponents(edges)
-      val labeled = quality.join(comp, Seq("doc_id"), "left")
+      val labeled = quality.join(clusters05(s, dir), Seq("doc_id"), "left")
         .withColumn("cluster_rep", coalesce(col("cluster_rep"), col("doc_id")))
       val win = Window.partitionBy(col("cluster_rep"))
         .orderBy(col("quality_score").desc, col("doc_id").asc)

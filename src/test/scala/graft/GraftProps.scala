@@ -143,6 +143,33 @@ object GraftProps extends Properties("graft") {
     }
   }
 
+  property("netpbm decode round-trips arbitrary generated images exactly") = {
+    import graft.operators.Multimodal
+    val genImg = for {
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(1, 40)
+      gray <- Gen.oneOf(true, false)
+      comment <- Gen.oneOf(true, false)
+      seed <- Gen.choose(0, 255)
+    } yield (w, h, gray, comment, seed)
+    forAll(genImg) { case (w, h, gray, comment, seed) =>
+      val ch = if (gray) 1 else 3
+      val magic = if (gray) "P5" else "P6"
+      val hdr = (if (comment) s"$magic\n# c\n$w $h\n255\n" else s"$magic\n$w $h\n255\n")
+        .getBytes("US-ASCII")
+      val samples = Array.tabulate(w * h * ch)(i => ((i + seed) % 256).toByte)
+      val bytes = hdr ++ samples
+      Multimodal.decodePnm(bytes) match {
+        case Some(f) =>
+          f.width == w && f.height == h && f.channels == ch &&
+          f.dataEnd - f.dataStart == w * h * ch &&
+          // truncating by one byte must reject
+          Multimodal.decodePnm(bytes.dropRight(1)).isEmpty
+        case None => false
+      }
+    }
+  }
+
   property("as-of join picks the max right time <= left time (vs brute force)") =
     forAll(genAsof) { case (lefts, rights) =>
       val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
