@@ -44,17 +44,36 @@ object Dedup {
     * session — wired into Bench, Verify, and the dedup specs' teardown so
     * persisted blocks never outlive the batch that needed them. */
   private val memoCache = TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private val hookedSessions = TrieMap.empty[SparkSession, Unit]
 
   private def memo(spark: SparkSession, dir: String, tag: String)(
-      build: => DataFrame): DataFrame =
+      build: => DataFrame): DataFrame = memoCache.synchronized {
+    // synchronized: TrieMap.getOrElseUpdate may run `build` twice under a
+    // concurrent first access, persisting an orphan copy releaseCaches could
+    // never free. On a session's first entry, hook application-end so a
+    // session stopped WITHOUT a manual releaseCaches doesn't pin its plans
+    // and persisted blocks in this JVM-global map forever.
+    hookedSessions.getOrElseUpdate(spark, {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          releaseCaches(spark)
+      })
+    })
     memoCache.getOrElseUpdate((spark, dir, tag), build)
+  }
 
   /** Unpersist and forget every dedup intermediate cached for `spark`.
-    * Call after a dedup batch completes (specs/bench teardown). */
-  def releaseCaches(spark: SparkSession): Unit =
+    * Call after a dedup batch completes (specs/bench teardown); also runs
+    * automatically when the session's application ends. */
+  def releaseCaches(spark: SparkSession): Unit = {
     memoCache.keys.filter(_._1 eq spark).foreach { k =>
-      memoCache.remove(k).foreach(_.unpersist(blocking = false))
+      memoCache.remove(k).foreach(df => try df.unpersist(blocking = false) catch {
+        case _: Throwable => () // session already stopped: nothing to free
+      })
     }
+    hookedSessions.remove(spark)
+  }
 
   /** Exploded, hashed, per-doc-distinct shingle relation shared by the whole
     * family, carrying TWO identities per word-3-gram: `h` = xxhash64 (an
@@ -586,7 +605,8 @@ object Dedup {
        |    SELECT doc_id,
        |      CAST(len(w) AS BIGINT) AS word_count,
        |      CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS BIGINT) AS distinct_ratio,
-       |      CAST(len(list_filter(w, x -> list_contains(['the','a','of','and'], x))) AS DOUBLE)
+       |      CAST(len(list_filter(w, x -> list_contains(${
+         TextAnalysis.stopwords.mkString("['", "','", "']")}, x))) AS DOUBLE)
        |        / CAST(len(w) AS BIGINT) AS stopword_ratio
        |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
        |          FROM documents) raw) feat),

@@ -61,9 +61,11 @@ object Multimodal {
     val w = readInt(); val h = readInt(); val maxval = readInt()
     if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
     i += 1 // the single whitespace byte after maxval
-    val end = i + w * h * channels
+    // Long arithmetic: adversarial header dims (e.g. 46341×46341) overflow
+    // an Int product and would otherwise slip past the length check
+    val end = i.toLong + w.toLong * h.toLong * channels
     if (i > bytes.length || end > bytes.length) None
-    else Some(PnmFrame(w, h, channels, i, end))
+    else Some(PnmFrame(w, h, channels, i, end.toInt))
   }
 
   private def sampleMean(bytes: Array[Byte], start: Int, end: Int): Double = {
@@ -85,31 +87,32 @@ object Multimodal {
 
   /** Decode one payload: REAL parse for netpbm (true dimensions + pixel
     * mean), `fakeDecode` fallback for formats whose codecs the container
-    * can't host. This is the kernel `decodeFeatures` runs per row. */
-  def decode(docId: Long, bytes: Array[Byte], nChars: Long): MediaFeature =
+    * can't host. This is the kernel `decodeFeatures` runs per row; `md` is
+    * the partition-scoped digest (per-partition init, not per-row). */
+  def decode(docId: Long, bytes: Array[Byte], nChars: Long,
+      md: java.security.MessageDigest): MediaFeature =
     decodePnm(bytes) match {
       case Some(f) => MediaFeature(
         doc_id = docId,
         byte_len = bytes.length.toLong,
-        content_md5 = java.security.MessageDigest.getInstance("MD5")
-          .digest(bytes).map("%02x".format(_)).mkString,
+        content_md5 = md.digest(bytes).map("%02x".format(_)).mkString,
         width = f.width.toLong,
         height = f.height.toLong,
         channels = f.channels.toLong,
         mean_byte = sampleMean(bytes, f.dataStart, f.dataEnd))
-      case None => fakeDecode(docId, bytes, nChars)
+      case None => fakeDecode(docId, bytes, nChars, md)
     }
 
   /** STUB decode kernel — deterministic fake standing in for a COMPRESSED
     * format's decoder (JPEG/PNG/audio; no codecs in this container). The
     * fake derives dimensions from metadata and a byte-mean "feature". */
-  def fakeDecode(docId: Long, bytes: Array[Byte], nChars: Long): MediaFeature = {
+  def fakeDecode(docId: Long, bytes: Array[Byte], nChars: Long,
+      md: java.security.MessageDigest): MediaFeature = {
     val sum = { var s = 0L; var i = 0; while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }; s }
     MediaFeature(
       doc_id = docId,
       byte_len = bytes.length.toLong,
-      content_md5 = java.security.MessageDigest.getInstance("MD5")
-        .digest(bytes).map("%02x".format(_)).mkString,
+      content_md5 = md.digest(bytes).map("%02x".format(_)).mkString,
       width = 64 + nChars % 512,
       height = 64 + (nChars * 7) % 512,
       channels = 3L,
@@ -123,8 +126,9 @@ object Multimodal {
     docsWithData.select(col("doc_id"), col("data"), col("n_chars"))
       .as[(Long, Array[Byte], Long)]
       .mapPartitions { it =>
-        // per-partition init would go here (codec handles, model weights)
-        it.map { case (id, bytes, n) => decode(id, bytes, n) }
+        // per-partition init: one digest per partition, not per row
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes, n) => decode(id, bytes, n, md) }
       }
   }
 
