@@ -292,5 +292,85 @@ object SimilaritySearch {
          |WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.35""".stripMargin
     })
 
-  val all: Seq[Q] = Seq(q35BruteForceTopK, q36LshTopK, q37IvfTopK, q38LshPairs)
+  /** The 4 literal initial centroids for q62 (±0.25-entry vectors from the
+    * same splitmix mixer as `pairPlanes` — deterministic, shared verbatim
+    * with the oracle SQL). */
+  private[operators] val kmeansInit: Seq[Array[Double]] =
+    (0 until 4).map { c =>
+      Array.tabulate(64) { d =>
+        var x = (1000 + c * 64 + d).toLong * 0x9E3779B97F4A7C15L
+        x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+        x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+        if (((x ^ (x >>> 31)) & 1L) == 1L) 0.25 else -0.25
+      }
+    }
+
+  /** q62 — one distributed Lloyd (k-means) step: the TRAINING half of the
+    * IVF index (q37 searches a prebuilt quantizer; this builds one). Each
+    * vector is assigned to its nearest of 4 literal initial centroids by
+    * L2 (argmin of ‖c‖²−2·x·c — the shared ‖x‖² term cancels; when-chain
+    * ties to the lowest centroid id), then new centroids are recomputed as
+    * quantized-integer means (exact BIGINT sums on the 2^-20 grid, one
+    * double division at the end — the q37/q53 technique), emitted one row
+    * per (centroid, dimension) so the result is flat-comparable.
+    *
+    * Scale: assignment is a map-only pass (centroids are literals in the
+    * plan — at real k they broadcast); the recompute is one shuffle at
+    * (k × dims) grain. Iterating = re-running with the new literals; every
+    * step stays oracle-checkable because nothing depends on aggregation
+    * order. */
+  val q62KmeansStep: Q = Q(
+    "q62_kmeans_step",
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.toDoubleArray(col("embedding")).as("emb"))
+      val scores = kmeansInit.zipWithIndex.map { case (c, i) =>
+        val cc = c.map(v => v * v).sum
+        (lit(cc) - lit(2.0) * Similarity.dot(col("emb"), typedLit(c))).as(s"s$i")
+      }
+      val scored = e.select((col("vec_id") +: col("emb") +: scores): _*)
+      val cid = when(col("s0") <= col("s1") && col("s0") <= col("s2") && col("s0") <= col("s3"), 0)
+        .when(col("s1") <= col("s2") && col("s1") <= col("s3"), 1)
+        .when(col("s2") <= col("s3"), 2)
+        .otherwise(3)
+      scored.withColumn("cid", cid.cast("long"))
+        .select(col("cid"), posexplode(col("emb")).as(Seq("d", "x")))
+        .groupBy(col("cid"), col("d"))
+        .agg(
+          count(lit(1)).as("n_points"),
+          sum(floor(col("x") * lit(1048576.0) + lit(0.5)).cast("long")).as("sq"))
+        .select(col("cid"), col("d").cast("long").as("d"), col("n_points"),
+          (col("sq").cast("double") / (col("n_points") * lit(1048576L)).cast("double"))
+            .as("cx"))
+    },
+    Some {
+      def planeSql(c: Array[Double]) = c.mkString("[", ", ", "]")
+      val scoreDefs = kmeansInit.zipWithIndex.map { case (c, i) =>
+        val cc = c.map(v => v * v).sum
+        s"    $cc - 2.0 * list_dot_product(emb, ${planeSql(c)}) AS s$i"
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |scored AS (
+         |  SELECT vec_id, emb,
+         |$scoreDefs
+         |  FROM e),
+         |assigned AS (
+         |  SELECT emb,
+         |    CAST(CASE
+         |      WHEN s0 <= s1 AND s0 <= s2 AND s0 <= s3 THEN 0
+         |      WHEN s1 <= s2 AND s1 <= s3 THEN 1
+         |      WHEN s2 <= s3 THEN 2
+         |      ELSE 3 END AS BIGINT) AS cid
+         |  FROM scored),
+         |comp AS (
+         |  SELECT cid, unnest(range(0, len(emb))) AS d, unnest(emb) AS x
+         |  FROM assigned)
+         |SELECT cid, CAST(d AS BIGINT) AS d, COUNT(*) AS n_points,
+         |  CAST(SUM(CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |    / CAST(COUNT(*) * 1048576 AS DOUBLE) AS cx
+         |FROM comp GROUP BY cid, d""".stripMargin
+    })
+
+  val all: Seq[Q] = Seq(q35BruteForceTopK, q36LshTopK, q37IvfTopK, q38LshPairs, q62KmeansStep)
 }

@@ -81,6 +81,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"LSH pair recall $recall over ${exact.size} true pairs")
   }
 
+  test("k-means step assigns every vector once and moves centroids toward their members") {
+    import graft.operators.SimilaritySearch
+    val rows = SimilaritySearch.q62KmeansStep.run(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val total = graft.sources.Tables(spark, TestSpark.sf0001, "embeddings").count()
+    // every populated centroid emits all 64 dims with a consistent count
+    val perCid = rows.groupBy(_._1)
+    perCid.foreach { case (cid, ds) =>
+      assert(ds.length == 64, s"centroid $cid has ${ds.length} dims")
+      assert(ds.map(_._3).distinct.length == 1, s"centroid $cid count inconsistent")
+    }
+    assert(perCid.map(_._2.head._3).sum == total, "assignment partitions the corpus")
+    // new centroid components stay inside the data's value range
+    assert(rows.forall { case (_, _, _, cx) => cx > -1.5 && cx < 1.5 })
+  }
+
   test("optimizer rule rewrites the HOF dot pattern to the native expression, bit-exact") {
     val prev = spark.experimental.extraOptimizations
     // a real scan, so constant folding can't pre-evaluate the projection
