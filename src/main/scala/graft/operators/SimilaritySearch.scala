@@ -372,5 +372,59 @@ object SimilaritySearch {
          |FROM comp GROUP BY cid, d""".stripMargin
     })
 
+  /** Iterated Lloyd training (builds the IVF coarse quantizer): runs
+    * `iters` q62-style steps, holding only the k×dims centroid matrix on
+    * the driver between rounds (the standard Spark ML training pattern —
+    * model state is tiny by definition, the corpus never leaves the
+    * cluster). Returns (centroids, per-iteration inertia). Assignment ties
+    * break to the lowest centroid id; empty clusters keep their previous
+    * centroid. `SimilaritySpec` pins monotone non-increasing inertia. */
+  def kmeansIterate(spark: org.apache.spark.sql.SparkSession, dir: String, iters: Int,
+      init: Seq[Array[Double]] = kmeansInit): (Seq[Array[Double]], Seq[Double]) = {
+    val e = Tables(spark, dir, "embeddings")
+      .select(Similarity.toDoubleArray(col("embedding")).as("emb"))
+      .persist()
+    try {
+      var centroids = init
+      val inertias = Seq.newBuilder[Double]
+      (0 until iters).foreach { _ =>
+        val k = centroids.length
+        val scores = centroids.zipWithIndex.map { case (c, i) =>
+          val cc = c.map(v => v * v).sum
+          (lit(cc) - lit(2.0) * Similarity.dot(col("emb"), typedLit(c))).as(s"s$i")
+        }
+        val cid = (0 until k - 1).foldRight(lit(k - 1): org.apache.spark.sql.Column) {
+          (i, rest) =>
+            when((i + 1 until k).map(j => col(s"s$i") <= col(s"s$j")).reduce(_ && _), i)
+              .otherwise(rest)
+        }
+        val assigned = e.select((col("emb") +: scores): _*)
+          .withColumn("cid", cid)
+          // true squared distance for the inertia metric: ‖x‖² + best score
+          .withColumn("dist2",
+            Similarity.dot(col("emb"), col("emb")) +
+              least((0 until k).map(i => col(s"s$i")): _*))
+        val stats = assigned
+          .select(col("cid"), col("dist2"), posexplode(col("emb")).as(Seq("d", "x")))
+          .groupBy(col("cid"), col("d"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(when(col("d") === 0, col("dist2"))).as("i0"))
+          .collect()
+        inertias += stats.flatMap(r => Option(r.get(4)).map(_ => r.getDouble(4))).sum
+        val next = centroids.zipWithIndex.map { case (old, i) =>
+          val dims = stats.filter(_.getInt(0) == i)
+          if (dims.isEmpty) old
+          else {
+            val out = old.clone()
+            dims.foreach(r => out(r.getInt(1)) = r.getDouble(3) / r.getLong(2))
+            out
+          }
+        }
+        centroids = next
+      }
+      (centroids, inertias.result())
+    } finally e.unpersist(blocking = false)
+  }
+
   val all: Seq[Q] = Seq(q35BruteForceTopK, q36LshTopK, q37IvfTopK, q38LshPairs, q62KmeansStep)
 }

@@ -97,6 +97,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.forall { case (_, _, _, cx) => cx > -1.5 && cx < 1.5 })
   }
 
+  test("iterated Lloyd training monotonically decreases inertia") {
+    import graft.operators.SimilaritySearch
+    val (centroids, inertias) = SimilaritySearch.kmeansIterate(spark, TestSpark.sf0001, 4)
+    assert(inertias.length == 4)
+    assert(inertias.forall(i => i > 0 && java.lang.Double.isFinite(i)))
+    inertias.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a * (1 + 1e-9), s"inertia increased: $a -> $b")
+    }
+    assert(centroids.length == 4 && centroids.forall(_.length == 64))
+    assert(centroids.forall(_.forall(java.lang.Double.isFinite)))
+    // training moved at least one centroid off its ±0.25 init grid
+    assert(centroids.exists(_.exists(v => math.abs(math.abs(v) - 0.25) > 1e-6)))
+  }
+
   test("optimizer rule rewrites the HOF dot pattern to the native expression, bit-exact") {
     val prev = spark.experimental.extraOptimizations
     // a real scan, so constant folding can't pre-evaluate the projection
