@@ -129,16 +129,12 @@ object Dedup {
     * (a_i, b_i) from a splitmix mixer — embedded as literals in both the
     * Spark plan and the oracle SQL. */
   private val MinHashP = 2147483647L
-  private def mix(z0: Long): Long = {
-    var x = z0 * 0x9E3779B97F4A7C15L
-    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-    x ^ (x >>> 31)
-  }
   private[operators] val minHashA: IndexedSeq[Long] =
-    (0 until 16).map(i => java.lang.Long.remainderUnsigned(mix(2L * i + 1), MinHashP - 1) + 1)
+    (0 until 16).map(i =>
+      java.lang.Long.remainderUnsigned(graft.functions.Mix.splitmix(2L * i + 1), MinHashP - 1) + 1)
   private[operators] val minHashB: IndexedSeq[Long] =
-    (0 until 16).map(i => java.lang.Long.remainderUnsigned(mix(2L * i + 2), MinHashP))
+    (0 until 16).map(i =>
+      java.lang.Long.remainderUnsigned(graft.functions.Mix.splitmix(2L * i + 2), MinHashP))
 
   /** Per-doc distinct-shingle counts (the Jaccard denominators). Derived
     * from the cached shingle relation on demand — 1 row per doc, so it

@@ -18,14 +18,39 @@ import graft.sources.Tables
   */
 object SimilaritySearch {
 
+  /** Embeddings with the double-array projection and precomputed norm — the
+    * shared prelude of every ANN query (unused columns prune away). */
+  private def embWithNorm(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), Similarity.toDoubleArray(col("embedding")).as("emb"))
+      .withColumn("nrm", Similarity.norm(col("emb")))
+
+  /** Oracle CTE mirroring `embWithNorm`. */
+  private val embOracleCte: String =
+    """e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  /** `[a, b, …]` DuckDB list literal for a coefficient vector (Double
+    * toString round-trips, so both engines parse identical doubles). */
+  private def arraySql(a: Array[Double]): String = a.mkString("[", ", ", "]")
+
+  /** Argmin over score columns s0..s(k-1): first index whose score is ≤ all
+    * later ones — ties break to the lowest id. Shared by q62 and
+    * `kmeansIterate`, and mirrored by the oracle's CASE chain. */
+  private def nearestCid(k: Int): org.apache.spark.sql.Column =
+    (0 until k - 1).foldRight(lit(k - 1)) { (i, rest) =>
+      when((i + 1 until k).map(j => col(s"s$i") <= col(s"s$j")).reduce(_ && _), i)
+        .otherwise(rest)
+    }
+
   /** q35 — brute-force cosine top-k: for each query vector (vec_id < 8),
     * the 5 nearest other vectors by cosine, ties broken by vec_id. */
   val q35BruteForceTopK: Q = Q(
     "q35_ann_bruteforce",
     (s, dir) => {
-      val e = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), Similarity.toDoubleArray(col("embedding")).as("emb"))
-        .withColumn("nrm", Similarity.norm(col("emb")))
+      val e = embWithNorm(s, dir)
       val queries = e.select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("nrm").as("q_nrm"))
         .filter(col("q_id") < 8)
       val scored = e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
@@ -39,10 +64,7 @@ object SimilaritySearch {
         .filter(col("rank") <= 5)
         .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
     },
-    Some("""WITH e AS (
-      |  SELECT vec_id, embedding::DOUBLE[] AS emb,
-      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-      |  FROM embeddings),
+    Some(s"""WITH $embOracleCte,
       |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM e WHERE vec_id < 8),
       |scored AS (
       |  SELECT q.q_id, e.vec_id AS neighbor_id,
@@ -75,10 +97,7 @@ object SimilaritySearch {
         lshPlanes.zipWithIndex.map { case (plane, p) =>
           when(Similarity.dot(embCol, typedLit(plane)) > 0, lit(1 << p)).otherwise(lit(0))
         }.reduce(_ + _)
-      val e = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), Similarity.toDoubleArray(col("embedding")).as("emb"))
-        .withColumn("nrm", Similarity.norm(col("emb")))
-        .withColumn("bucket", code(col("emb")))
+      val e = embWithNorm(s, dir).withColumn("bucket", code(col("emb")))
       val qside = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
           col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
@@ -95,14 +114,10 @@ object SimilaritySearch {
           col("cosine"), col("rank"))
     },
     Some {
-      def planeSql(plane: Array[Double]) = plane.mkString("[", ", ", "]")
       val bucketSql = lshPlanes.zipWithIndex.map { case (plane, p) =>
-        s"(CASE WHEN list_dot_product(emb, ${planeSql(plane)}) > 0 THEN ${1 << p} ELSE 0 END)"
+        s"(CASE WHEN list_dot_product(emb, ${arraySql(plane)}) > 0 THEN ${1 << p} ELSE 0 END)"
       }.mkString(" + ")
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS emb,
-         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-         |  FROM embeddings),
+      s"""WITH $embOracleCte,
          |b AS (SELECT vec_id, emb, nrm, $bucketSql AS bucket FROM e),
          |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm, bucket AS q_bucket
          |      FROM b WHERE vec_id < 8),
@@ -136,9 +151,7 @@ object SimilaritySearch {
   val q37IvfTopK: Q = Q(
     "q37_ann_ivf",
     (s, dir) => {
-      val e = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"), Similarity.toDoubleArray(col("embedding")).as("emb"))
-        .withColumn("nrm", Similarity.norm(col("emb")))
+      val e = embWithNorm(s, dir)
       // centroid per label: elementwise quantized mean (64 dims → tiny
       // result); exact integer sums make the aggregate order-independent.
       val centroids = e
@@ -173,10 +186,7 @@ object SimilaritySearch {
         .select(col("q_id"), col("vec_id").as("neighbor_id"), col("label").cast("long").as("probed_label"),
           col("cosine"), col("rank"))
     },
-    Some("""WITH e AS (
-      |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
-      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-      |  FROM embeddings),
+    Some(s"""WITH $embOracleCte,
       |comp AS (
       |  SELECT label, unnest(range(1, len(emb) + 1)) AS d, unnest(emb) AS x FROM e),
       |csum AS (
@@ -217,10 +227,7 @@ object SimilaritySearch {
   private[operators] val pairPlanes: Seq[Array[Double]] =
     (0 until 16).map { p =>
       Array.tabulate(64) { d =>
-        var x = (p * 64 + d).toLong * 0x9E3779B97F4A7C15L
-        x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-        x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-        if (((x ^ (x >>> 31)) & 1L) == 1L) 1.0 else -1.0
+        if ((graft.functions.Mix.splitmix((p * 64 + d).toLong) & 1L) == 1L) 1.0 else -1.0
       }
     }
 
@@ -244,9 +251,7 @@ object SimilaritySearch {
           when(Similarity.dot(embCol, typedLit(pairPlanes(b * 4 + i))) > 0, lit(1 << i))
             .otherwise(lit(0))
         }.reduce(_ + _)
-      val e = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), Similarity.toDoubleArray(col("embedding")).as("emb"))
-        .withColumn("nrm", Similarity.norm(col("emb")))
+      val e = embWithNorm(s, dir)
       val banded = e.select(col("vec_id"),
         posexplode(array((0 until 4).map(b => bandCode(col("emb"), b)): _*))
           .as(Seq("band_idx", "bucket")))
@@ -267,15 +272,11 @@ object SimilaritySearch {
         .select(col("vec_a"), col("vec_b"), col("cosine"))
     },
     Some {
-      def planeSql(plane: Array[Double]) = plane.mkString("[", ", ", "]")
       def bandSql(b: Int) = (0 until 4).map { i =>
-        s"(CASE WHEN list_dot_product(emb, ${planeSql(pairPlanes(b * 4 + i))}) > 0 THEN ${1 << i} ELSE 0 END)"
+        s"(CASE WHEN list_dot_product(emb, ${arraySql(pairPlanes(b * 4 + i))}) > 0 THEN ${1 << i} ELSE 0 END)"
       }.mkString(" + ")
       val bandList = (0 until 4).map(bandSql).mkString("[", ", ", "]")
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS emb,
-         |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-         |  FROM embeddings),
+      s"""WITH $embOracleCte,
          |banded AS (
          |  SELECT vec_id, unnest([0, 1, 2, 3]) AS band_idx, unnest($bandList) AS bucket
          |  FROM e),
@@ -298,10 +299,7 @@ object SimilaritySearch {
   private[operators] val kmeansInit: Seq[Array[Double]] =
     (0 until 4).map { c =>
       Array.tabulate(64) { d =>
-        var x = (1000 + c * 64 + d).toLong * 0x9E3779B97F4A7C15L
-        x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-        x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-        if (((x ^ (x >>> 31)) & 1L) == 1L) 0.25 else -0.25
+        if ((graft.functions.Mix.splitmix((1000 + c * 64 + d).toLong) & 1L) == 1L) 0.25 else -0.25
       }
     }
 
@@ -322,18 +320,13 @@ object SimilaritySearch {
   val q62KmeansStep: Q = Q(
     "q62_kmeans_step",
     (s, dir) => {
-      val e = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), Similarity.toDoubleArray(col("embedding")).as("emb"))
+      val e = embWithNorm(s, dir)
       val scores = kmeansInit.zipWithIndex.map { case (c, i) =>
         val cc = c.map(v => v * v).sum
         (lit(cc) - lit(2.0) * Similarity.dot(col("emb"), typedLit(c))).as(s"s$i")
       }
       val scored = e.select((col("vec_id") +: col("emb") +: scores): _*)
-      val cid = when(col("s0") <= col("s1") && col("s0") <= col("s2") && col("s0") <= col("s3"), 0)
-        .when(col("s1") <= col("s2") && col("s1") <= col("s3"), 1)
-        .when(col("s2") <= col("s3"), 2)
-        .otherwise(3)
-      scored.withColumn("cid", cid.cast("long"))
+      scored.withColumn("cid", nearestCid(kmeansInit.length).cast("long"))
         .select(col("cid"), posexplode(col("emb")).as(Seq("d", "x")))
         .groupBy(col("cid"), col("d"))
         .agg(
@@ -344,10 +337,9 @@ object SimilaritySearch {
             .as("cx"))
     },
     Some {
-      def planeSql(c: Array[Double]) = c.mkString("[", ", ", "]")
       val scoreDefs = kmeansInit.zipWithIndex.map { case (c, i) =>
         val cc = c.map(v => v * v).sum
-        s"    $cc - 2.0 * list_dot_product(emb, ${planeSql(c)}) AS s$i"
+        s"    $cc - 2.0 * list_dot_product(emb, ${arraySql(c)}) AS s$i"
       }.mkString(",\n")
       s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -381,9 +373,7 @@ object SimilaritySearch {
     * centroid. `SimilaritySpec` pins monotone non-increasing inertia. */
   def kmeansIterate(spark: org.apache.spark.sql.SparkSession, dir: String, iters: Int,
       init: Seq[Array[Double]] = kmeansInit): (Seq[Array[Double]], Seq[Double]) = {
-    val e = Tables(spark, dir, "embeddings")
-      .select(Similarity.toDoubleArray(col("embedding")).as("emb"))
-      .persist()
+    val e = embWithNorm(spark, dir).select(col("emb")).persist()
     try {
       var centroids = init
       val inertias = Seq.newBuilder[Double]
@@ -393,13 +383,8 @@ object SimilaritySearch {
           val cc = c.map(v => v * v).sum
           (lit(cc) - lit(2.0) * Similarity.dot(col("emb"), typedLit(c))).as(s"s$i")
         }
-        val cid = (0 until k - 1).foldRight(lit(k - 1): org.apache.spark.sql.Column) {
-          (i, rest) =>
-            when((i + 1 until k).map(j => col(s"s$i") <= col(s"s$j")).reduce(_ && _), i)
-              .otherwise(rest)
-        }
         val assigned = e.select((col("emb") +: scores): _*)
-          .withColumn("cid", cid)
+          .withColumn("cid", nearestCid(k))
           // true squared distance for the inertia metric: ‖x‖² + best score
           .withColumn("dist2",
             Similarity.dot(col("emb"), col("emb")) +
