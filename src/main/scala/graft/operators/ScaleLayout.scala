@@ -28,6 +28,32 @@ object ScaleLayout {
       .partitionBy("part_date")
       .parquet(path)
 
+  /** Small-file compaction for a parquet lake directory — the steady-state
+    * maintenance job a 100 TB lake cannot live without (streaming sinks and
+    * fine-grained partitions accrete kilobyte files; scan throughput dies on
+    * per-file open cost). Rewrites `path` into ceil(bytes/targetBytes)
+    * files via a round-robin repartition (no shuffle key — pure bin-packing;
+    * within-file order is not part of the lake contract, which is also why
+    * rewriting is safe mid-pipeline). Returns (filesBefore, filesAfter).
+    * The rewrite stages into `path + ".compact"` then swaps, so a failed
+    * job never destroys the source. */
+  def compact(spark: SparkSession, path: String, targetBytes: Long): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(p: String) =
+      fs.listStatus(new Path(p)).filter(_.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles(path)
+    val totalBytes = before.map(_.getLen).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val staging = path + ".compact"
+    spark.read.parquet(path).repartition(n)
+      .write.mode("overwrite").parquet(staging)
+    val afterN = parquetFiles(staging).length
+    fs.delete(new Path(path), true)
+    fs.rename(new Path(staging), new Path(path))
+    (before.length, afterN)
+  }
+
   /** Salted equi-join for skewed keys. AQE's skew-join handles sort-merge
     * skew at runtime; this explicit variant covers plans AQE can't rewrite
     * (e.g. when the skewed side feeds a co-grouped computation). The big

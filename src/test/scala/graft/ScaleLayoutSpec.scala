@@ -49,6 +49,20 @@ class ScaleLayoutSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters") && scan.contains("part_date"))
   }
 
+  test("compaction bin-packs a fragmented directory without losing rows") {
+    val path = Files.createTempDirectory("graft-compact").toString + "/frag"
+    val events = Tables(spark, TestSpark.sf0001, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    events.repartition(40).write.mode("overwrite").parquet(path) // fragment
+    val rowsBefore = spark.read.parquet(path).count()
+    val sumBefore = spark.read.parquet(path).agg(sum("event_id")).head().getLong(0)
+    val (before, after) = ScaleLayout.compact(spark, path, targetBytes = 1L << 20)
+    assert(before == 40)
+    assert(after < before, s"no compaction: $before -> $after")
+    assert(spark.read.parquet(path).count() == rowsBefore)
+    assert(spark.read.parquet(path).agg(sum("event_id")).head().getLong(0) == sumBefore)
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val events = Tables(spark, TestSpark.sf0001, "events")
       .select(col("user_id"), col("event_id"), col("value"))
