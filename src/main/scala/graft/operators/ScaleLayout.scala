@@ -54,6 +54,33 @@ object ScaleLayout {
     (before.length, afterN)
   }
 
+  /** Incremental MERGE upsert for a parquet lake table (the step beyond the
+    * reference's whole-table `if_exists='replace'` load): latest row per
+    * key wins, decided by `versionCol` (ties to existing rows lose — an
+    * equal-version update is applied). Implemented as unionByName →
+    * per-key max-version keep, which is ONE shuffle on the key at any
+    * scale; the rewrite uses the same staged-swap protocol as `compact`,
+    * so a failed merge never destroys the base table. For recurring merges
+    * at 100 TB, store the base bucketed on `key` (writeBucketed) so the
+    * keep-window shuffles only the delta. */
+  def mergeUpsert(spark: SparkSession, path: String, updates: DataFrame,
+      key: String, versionCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.expressions.Window
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = spark.read.parquet(path).withColumn("__src", lit(0))
+    val merged = base.unionByName(updates.withColumn("__src", lit(1)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(key))
+          .orderBy(col(versionCol).desc, col("__src").desc)))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__src")
+    val staging = path + ".merge"
+    merged.write.mode("overwrite").parquet(staging)
+    fs.delete(new Path(path), true)
+    fs.rename(new Path(staging), new Path(path))
+  }
+
   /** Salted equi-join for skewed keys. AQE's skew-join handles sort-merge
     * skew at runtime; this explicit variant covers plans AQE can't rewrite
     * (e.g. when the skewed side feeds a co-grouped computation). The big

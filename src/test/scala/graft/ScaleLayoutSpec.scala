@@ -63,6 +63,26 @@ class ScaleLayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).agg(sum("event_id")).head().getLong(0) == sumBefore)
   }
 
+  test("merge upsert keeps the latest version per key and inserts new keys") {
+    val path = Files.createTempDirectory("graft-merge").toString + "/tbl"
+    Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 2L))
+      .toDF("id", "payload", "version").write.parquet(path)
+    val updates = Seq(
+      (2L, "b2", 2L),  // newer version wins
+      (3L, "c0", 1L),  // older version loses
+      (3L, "c2", 2L),  // equal version: update wins
+      (4L, "d", 1L))   // new key inserts
+      .toDF("id", "payload", "version")
+    ScaleLayout.mergeUpsert(spark, path, updates, "id", "version")
+    val out = spark.read.parquet(path)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map(
+      1L -> ("a", 1L), 2L -> ("b2", 2L), 3L -> ("c2", 2L), 4L -> ("d", 1L)))
+    // idempotent: replaying the same delta changes nothing
+    ScaleLayout.mergeUpsert(spark, path, updates, "id", "version")
+    assert(spark.read.parquet(path).count() == 4)
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val events = Tables(spark, TestSpark.sf0001, "events")
       .select(col("user_id"), col("event_id"), col("value"))
