@@ -31,6 +31,20 @@ object Checks {
     require(nulls == 0, s"primary key columns contain NULLs (${keyCols.mkString(", ")})")
   }
 
+  /** Orphaned foreign-key rows: child rows whose `fkCol` value has no match
+    * in the parent's `pkCol` (empty = referential integrity holds; NULL FKs
+    * are not orphans, matching SQL FK semantics). Left-anti join — shuffles
+    * on the key, or broadcasts when the parent key set is dim-sized. */
+  def fkViolations(child: DataFrame, parent: DataFrame,
+      fkCol: String, pkCol: String): DataFrame =
+    child.filter(col(fkCol).isNotNull)
+      .join(parent.select(col(pkCol).as(fkCol)).distinct(), Seq(fkCol), "left_anti")
+
+  /** Rows whose `column` value falls outside the accepted set (empty =
+    * constraint holds; NULLs are violations unless null is accepted). */
+  def acceptedValues(df: DataFrame, column: String, values: Seq[Any]): DataFrame =
+    df.filter(!col(column).isin(values: _*) || col(column).isNull)
+
   /** Per-column profile (null count, exact distinct count) as rows — the
     * monitoring surface a warehouse would hang alerts on. One pass of
     * aggregates, then a stack() unpivot. */

@@ -37,4 +37,24 @@ class ChecksSpec extends AnyFunSuite {
     val df = Seq((Some(1), "a"), (None, "b")).toDF("k", "v")
     assert(Checks.nullViolations(df, Seq("k")).count() == 1)
   }
+
+  test("fkViolations finds orphans but not NULL FKs; lineitem→orders is clean") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L).toDF("id")
+    val child = Seq(Some(1L), Some(3L), None).toDF("pid")
+    val orphans = Checks.fkViolations(child, parent, "pid", "id").collect()
+    assert(orphans.length == 1 && orphans.head.getLong(0) == 3L)
+    // real referential integrity in the fixtures
+    val li = graft.sources.Tables(spark, TestSpark.sf0001, "lineitem")
+    val ord = graft.sources.Tables(spark, TestSpark.sf0001, "orders")
+    assert(Checks.fkViolations(li, ord, "l_orderkey", "o_orderkey").count() == 0)
+  }
+
+  test("acceptedValues flags out-of-domain and NULL values") {
+    import spark.implicits._
+    val df = Seq(Some("A"), Some("X"), None).toDF("flag")
+    assert(Checks.acceptedValues(df, "flag", Seq("A", "N", "R")).count() == 2)
+    val ord = graft.sources.Tables(spark, TestSpark.sf0001, "lineitem")
+    assert(Checks.acceptedValues(ord, "l_returnflag", Seq("A", "N", "R")).count() == 0)
+  }
 }
