@@ -41,9 +41,16 @@ object Checks {
       .join(parent.select(col(pkCol).as(fkCol)).distinct(), Seq(fkCol), "left_anti")
 
   /** Rows whose `column` value falls outside the accepted set (empty =
-    * constraint holds; NULLs are violations unless null is accepted). */
-  def acceptedValues(df: DataFrame, column: String, values: Seq[Any]): DataFrame =
-    df.filter(!col(column).isin(values: _*) || col(column).isNull)
+    * constraint holds). NULLs are violations unless `values` itself contains
+    * null — the isNull branch is what catches them, since `isin` is
+    * three-valued and yields NULL (filtered out) for NULL inputs. */
+  def acceptedValues(df: DataFrame, column: String, values: Seq[Any]): DataFrame = {
+    val nonNull = values.filterNot(_ == null)
+    val outsideSet =
+      if (nonNull.isEmpty) col(column).isNotNull else !col(column).isin(nonNull: _*)
+    if (values.contains(null)) df.filter(outsideSet)
+    else df.filter(outsideSet || col(column).isNull)
+  }
 
   /** Per-column profile (null count, exact distinct count) as rows — the
     * monitoring surface a warehouse would hang alerts on. One pass of

@@ -44,7 +44,8 @@ object Dedup {
     * session — wired into Bench, Verify, and the dedup specs' teardown so
     * persisted blocks never outlive the batch that needed them. */
   private val memoCache = TrieMap.empty[(SparkSession, String, String), DataFrame]
-  private val hookedSessions = TrieMap.empty[SparkSession, Unit]
+  private val hookedSessions =
+    TrieMap.empty[SparkSession, org.apache.spark.scheduler.SparkListener]
 
   private def memo(spark: SparkSession, dir: String, tag: String)(
       build: => DataFrame): DataFrame = memoCache.synchronized {
@@ -52,27 +53,36 @@ object Dedup {
     // concurrent first access, persisting an orphan copy releaseCaches could
     // never free. On a session's first entry, hook application-end so a
     // session stopped WITHOUT a manual releaseCaches doesn't pin its plans
-    // and persisted blocks in this JVM-global map forever.
+    // and persisted blocks in this JVM-global map forever. The listener
+    // reference is kept so releaseCaches can deregister it — repeated
+    // memo/release cycles must not accumulate listeners on the context.
     hookedSessions.getOrElseUpdate(spark, {
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      val l = new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
           releaseCaches(spark)
-      })
+      }
+      spark.sparkContext.addSparkListener(l)
+      l
     })
     memoCache.getOrElseUpdate((spark, dir, tag), build)
   }
 
-  /** Unpersist and forget every dedup intermediate cached for `spark`.
-    * Call after a dedup batch completes (specs/bench teardown); also runs
-    * automatically when the session's application ends. */
+  /** Unpersist and forget every dedup intermediate cached for `spark`, and
+    * deregister the session's application-end hook. Call after a dedup batch
+    * completes (specs/bench teardown); also runs automatically when the
+    * session's application ends. */
   def releaseCaches(spark: SparkSession): Unit = {
     memoCache.keys.filter(_._1 eq spark).foreach { k =>
       memoCache.remove(k).foreach(df => try df.unpersist(blocking = false) catch {
         case _: Throwable => () // session already stopped: nothing to free
       })
     }
-    hookedSessions.remove(spark)
+    hookedSessions.remove(spark).foreach { l =>
+      try spark.sparkContext.removeSparkListener(l) catch {
+        case _: Throwable => () // context already stopped: nothing to remove
+      }
+    }
   }
 
   /** Exploded, hashed, per-doc-distinct shingle relation shared by the whole

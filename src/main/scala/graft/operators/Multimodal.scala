@@ -60,7 +60,12 @@ object Multimodal {
     }
     val w = readInt(); val h = readInt(); val maxval = readInt()
     if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
-    i += 1 // the single whitespace byte after maxval
+    // exactly ONE whitespace byte separates maxval from the samples (netpbm
+    // spec); anything else is a malformed header whose acceptance would shift
+    // every sample offset by one — route it to the fallback instead
+    if (i >= bytes.length || !(bytes(i) == ' ' || bytes(i) == '\t' ||
+        bytes(i) == '\r' || bytes(i) == '\n')) return None
+    i += 1
     // Long arithmetic: adversarial header dims (e.g. 46341×46341) overflow
     // an Int product and would otherwise slip past the length check
     val end = i.toLong + w.toLong * h.toLong * channels

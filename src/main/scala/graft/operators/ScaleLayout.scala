@@ -28,30 +28,80 @@ object ScaleLayout {
       .partitionBy("part_date")
       .parquet(path)
 
+  /** Recursive parquet inventory of a lake directory (flat or
+    * Hive-partitioned): (fileCount, totalBytes). */
+  private def parquetInventory(fs: org.apache.hadoop.fs.FileSystem,
+      p: String): (Int, Long) = {
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+    var n = 0; var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) { n += 1; bytes += f.getLen }
+    }
+    (n, bytes)
+  }
+
+  /** Hive-style partition column chain of a lake directory: the `k=v`
+    * directory names from root to leaf (empty for a flat layout). */
+  private def partitionCols(fs: org.apache.hadoop.fs.FileSystem,
+      p: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val cols = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur = new Path(p)
+    var next = Option(cur)
+    while (next.isDefined) {
+      next = fs.listStatus(next.get).collectFirst {
+        case s if s.isDirectory && s.getPath.getName.contains("=") => s.getPath
+      }
+      next.foreach(d => cols += d.getName.split("=", 2)(0))
+    }
+    cols.toSeq
+  }
+
+  /** Swap `staging` into place at `path` with the source renamed aside
+    * first: a crash mid-swap leaves the data recoverable at `path + ".old"`
+    * instead of deleted (the delete of the old copy is the LAST step). */
+  private def stagedSwap(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, staging: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val old = new Path(path + ".old")
+    fs.delete(old, true)
+    fs.rename(new Path(path), old)
+    fs.rename(new Path(staging), new Path(path))
+    fs.delete(old, true)
+  }
+
   /** Small-file compaction for a parquet lake directory — the steady-state
     * maintenance job a 100 TB lake cannot live without (streaming sinks and
     * fine-grained partitions accrete kilobyte files; scan throughput dies on
-    * per-file open cost). Rewrites `path` into ceil(bytes/targetBytes)
-    * files via a round-robin repartition (no shuffle key — pure bin-packing;
-    * within-file order is not part of the lake contract, which is also why
-    * rewriting is safe mid-pipeline). Returns (filesBefore, filesAfter).
-    * The rewrite stages into `path + ".compact"` then swaps, so a failed
-    * job never destroys the source. */
+    * per-file open cost). Files and bytes are counted RECURSIVELY, so
+    * Hive-partitioned layouts (writeDatePartitioned output) are sized
+    * correctly; a partitioned input is rewritten with `partitionBy` on its
+    * inferred partition chain — one task per partition value — preserving
+    * the layout partition pruning depends on. Flat inputs rewrite into
+    * ceil(bytes/targetBytes) files via a round-robin repartition (no shuffle
+    * key — pure bin-packing; within-file order is not part of the lake
+    * contract, which is also why rewriting is safe mid-pipeline). Returns
+    * (filesBefore, filesAfter). The rewrite stages into `path + ".compact"`,
+    * then swaps via rename-aside (see `stagedSwap`), so no failure point
+    * leaves the lake without a recoverable copy. */
   def compact(spark: SparkSession, path: String, targetBytes: Long): (Int, Int) = {
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def parquetFiles(p: String) =
-      fs.listStatus(new Path(p)).filter(_.getPath.getName.endsWith(".parquet"))
-    val before = parquetFiles(path)
-    val totalBytes = before.map(_.getLen).sum
-    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (filesBefore, totalBytes) = parquetInventory(fs, path)
+    val parts = partitionCols(fs, path)
     val staging = path + ".compact"
-    spark.read.parquet(path).repartition(n)
-      .write.mode("overwrite").parquet(staging)
-    val afterN = parquetFiles(staging).length
-    fs.delete(new Path(path), true)
-    fs.rename(new Path(staging), new Path(path))
-    (before.length, afterN)
+    val src = spark.read.parquet(path)
+    if (parts.isEmpty) {
+      val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+      src.repartition(n).write.mode("overwrite").parquet(staging)
+    } else {
+      src.repartition(parts.map(col): _*)
+        .write.mode("overwrite").partitionBy(parts: _*).parquet(staging)
+    }
+    val (filesAfter, _) = parquetInventory(fs, staging)
+    stagedSwap(fs, path, staging)
+    (filesBefore, filesAfter)
   }
 
   /** Incremental MERGE upsert for a parquet lake table (the step beyond the
@@ -77,8 +127,7 @@ object ScaleLayout {
       .drop("__rn", "__src")
     val staging = path + ".merge"
     merged.write.mode("overwrite").parquet(staging)
-    fs.delete(new Path(path), true)
-    fs.rename(new Path(staging), new Path(path))
+    stagedSwap(fs, path, staging)
   }
 
   /** Salted equi-join for skewed keys. AQE's skew-join handles sort-merge

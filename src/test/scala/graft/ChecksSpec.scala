@@ -57,4 +57,13 @@ class ChecksSpec extends AnyFunSuite {
     val ord = graft.sources.Tables(spark, TestSpark.sf0001, "lineitem")
     assert(Checks.acceptedValues(ord, "l_returnflag", Seq("A", "N", "R")).count() == 0)
   }
+
+  test("acceptedValues treats NULL as accepted when null is in the set") {
+    import spark.implicits._
+    val df = Seq(Some("A"), Some("X"), None).toDF("flag")
+    val bad = Checks.acceptedValues(df, "flag", Seq("A", null)).collect()
+    assert(bad.length == 1 && bad.head.getString(0) == "X")
+    // null-only domain: every non-null value violates
+    assert(Checks.acceptedValues(df, "flag", Seq(null)).count() == 2)
+  }
 }

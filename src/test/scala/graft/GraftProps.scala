@@ -159,12 +159,16 @@ object GraftProps extends Properties("graft") {
         .getBytes("US-ASCII")
       val samples = Array.tabulate(w * h * ch)(i => ((i + seed) % 256).toByte)
       val bytes = hdr ++ samples
+      // a non-whitespace byte after maxval is a malformed header: reject,
+      // never accept with sample offsets shifted by one
+      val malformed = (s"$magic\n$w $h\n255".getBytes("US-ASCII") :+ 'X'.toByte) ++ samples
       Multimodal.decodePnm(bytes) match {
         case Some(f) =>
           f.width == w && f.height == h && f.channels == ch &&
           f.dataEnd - f.dataStart == w * h * ch &&
           // truncating by one byte must reject
-          Multimodal.decodePnm(bytes.dropRight(1)).isEmpty
+          Multimodal.decodePnm(bytes.dropRight(1)).isEmpty &&
+          Multimodal.decodePnm(malformed).isEmpty
         case None => false
       }
     }

@@ -63,6 +63,29 @@ class ScaleLayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).agg(sum("event_id")).head().getLong(0) == sumBefore)
   }
 
+  test("compaction preserves a Hive-partitioned layout and counts recursively") {
+    val path = Files.createTempDirectory("graft-compact-part").toString + "/events"
+    ScaleLayout.writeDatePartitioned(
+      Tables(spark, TestSpark.sf0001, "events").repartition(8), path, "ts")
+    val rowsBefore = spark.read.parquet(path).count()
+    val datesBefore = spark.read.parquet(path)
+      .select("part_date").distinct().collect().map(_.get(0).toString).sorted.toSeq
+    val (before, after) = ScaleLayout.compact(spark, path, targetBytes = 1L << 26)
+    // files live in part_date=... subdirs: a non-recursive count would see 0
+    assert(before > 0, s"recursive inventory saw no files (before=$before)")
+    assert(after <= before)
+    assert(spark.read.parquet(path).count() == rowsBefore)
+    // the partition layout must survive: same partition values, and the
+    // partition filter still reaches the scan as a PartitionFilter
+    val datesAfter = spark.read.parquet(path)
+      .select("part_date").distinct().collect().map(_.get(0).toString).sorted.toSeq
+    assert(datesAfter == datesBefore)
+    val pruned = spark.read.parquet(path).filter(col("part_date") === datesBefore.head)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("part_date"))
+    assert(pruned.count() > 0)
+  }
+
   test("merge upsert keeps the latest version per key and inserts new keys") {
     val path = Files.createTempDirectory("graft-merge").toString + "/tbl"
     Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 2L))
