@@ -286,6 +286,25 @@ object CoreQueries {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
       |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin))
 
+  /** CUBE over (returnflag, linestatus) with `grouping_id` — completes the
+    * multi-dimensional aggregate family next to q27's ROLLUP: all four
+    * grouping sets in ONE pass (Spark expands the sets map-side, so the
+    * shuffle still carries only group rows — same 100 TB shape as a plain
+    * groupBy). `gid` distinguishes a real NULL group value from a
+    * subtotal's placeholder NULL, which COALESCE-based marking cannot. */
+  val q63CubeGrouping: Q = Q(
+    "q63_cube_grouping",
+    (s, dir) => Tables(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("row_count"),
+        moneySum(col("l_extendedprice")).cast("double").as("revenue"),
+        grouping_id().cast("long").as("gid")),
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS row_count,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin))
+
   /** Pivot (status → columns). Spark's pivot yields NULL for absent combos;
     * both sides coalesce to 0 for parity with FILTERed counts. */
   val q28Pivot: Q = Q(
@@ -705,7 +724,7 @@ object CoreQueries {
     q01PricingSummary, q02SelectiveRevenue, q03JoinAgg, q04OrderEnrichment,
     q05PrimaryFlag, q06UnionDistinct, q07DimLocations, q08Master,
     q09ScalarNorm, q10TopKPerGroup, q11CustomerOrderSeq, q12TopOrders,
-    q13MonthlyRollup, q25MultiKeyNormJoin, q26SetOps, q27Rollup, q28Pivot,
+    q13MonthlyRollup, q25MultiKeyNormJoin, q26SetOps, q27Rollup, q28Pivot, q63CubeGrouping,
     q29AsofJoin, q41SemiAnti, q42RangeJoin, q43Funnel, q44CohortRetention,
     q45Profile, q46SqlApi, q47TopKNative, q53ExactStats, q54Unpivot,
     q55FuzzyMatch, q56GapFill, q57StringAgg, q58DateParts, q59NullSafeJoin)

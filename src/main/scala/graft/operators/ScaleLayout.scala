@@ -130,6 +130,21 @@ object ScaleLayout {
     stagedSwap(fs, path, staging)
   }
 
+  /** Range-partitioned, sorted-within-partition write — the global-sort lake
+    * layout: file i holds a contiguous key range disjoint from file i+1's, so
+    * parquet min/max footer stats become a coarse index (a range predicate
+    * opens only the files whose range intersects it — the single-dimension
+    * form of clustering/Z-ordering). repartitionByRange samples the key to
+    * build balanced range bounds (one pass at any scale) and
+    * sortWithinPartitions is a local sort — NO global merge stage; at 100 TB
+    * this is the layout that makes time-travel/backfill scans touch only
+    * their slice of the lake. */
+  def writeSortedRange(df: DataFrame, path: String, sortCol: String,
+      partitions: Int): Unit =
+    df.repartitionByRange(partitions, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+
   /** Salted equi-join for skewed keys. AQE's skew-join handles sort-merge
     * skew at runtime; this explicit variant covers plans AQE can't rewrite
     * (e.g. when the skewed side feeds a co-grouped computation). The big

@@ -36,14 +36,17 @@ object SimilaritySearch {
     * toString round-trips, so both engines parse identical doubles). */
   private def arraySql(a: Array[Double]): String = a.mkString("[", ", ", "]")
 
-  /** Argmin over score columns s0..s(k-1): first index whose score is ≤ all
-    * later ones — ties break to the lowest id. Shared by q62 and
-    * `kmeansIterate`, and mirrored by the oracle's CASE chain. */
-  private def nearestCid(k: Int): org.apache.spark.sql.Column =
-    (0 until k - 1).foldRight(lit(k - 1)) { (i, rest) =>
-      when((i + 1 until k).map(j => col(s"s$i") <= col(s"s$j")).reduce(_ && _), i)
+  /** Argmin over named score columns: first index whose score is ≤ all
+    * later ones — ties break to the lowest index. Shared by q62/q65/
+    * `kmeansIterateOn`, and mirrored by the oracles' CASE chains. */
+  private def argminCols(names: Seq[String]): org.apache.spark.sql.Column =
+    (0 until names.length - 1).foldRight(lit(names.length - 1)) { (i, rest) =>
+      when((i + 1 until names.length).map(j => col(names(i)) <= col(names(j))).reduce(_ && _), i)
         .otherwise(rest)
     }
+
+  private def nearestCid(k: Int): org.apache.spark.sql.Column =
+    argminCols((0 until k).map(i => s"s$i"))
 
   /** q35 — brute-force cosine top-k: for each query vector (vec_id < 8),
     * the 5 nearest other vectors by cosine, ties broken by vec_id. */
@@ -372,8 +375,14 @@ object SimilaritySearch {
     * break to the lowest centroid id; empty clusters keep their previous
     * centroid. `SimilaritySpec` pins monotone non-increasing inertia. */
   def kmeansIterate(spark: org.apache.spark.sql.SparkSession, dir: String, iters: Int,
-      init: Seq[Array[Double]] = kmeansInit): (Seq[Array[Double]], Seq[Double]) = {
-    val e = embWithNorm(spark, dir).select(col("emb")).persist()
+      init: Seq[Array[Double]] = kmeansInit): (Seq[Array[Double]], Seq[Double]) =
+    kmeansIterateOn(embWithNorm(spark, dir).select(col("emb")), iters, init)
+
+  /** Lloyd training over an arbitrary vector relation (one `emb` double-array
+    * column) — the `kmeansIterate` core, reused per-subspace by `pqTrain`. */
+  def kmeansIterateOn(vecs: org.apache.spark.sql.DataFrame, iters: Int,
+      init: Seq[Array[Double]]): (Seq[Array[Double]], Seq[Double]) = {
+    val e = vecs.select(col("emb")).persist()
     try {
       var centroids = init
       val inertias = Seq.newBuilder[Double]
@@ -411,5 +420,163 @@ object SimilaritySearch {
     } finally e.unpersist(blocking = false)
   }
 
-  val all: Seq[Q] = Seq(q35BruteForceTopK, q36LshTopK, q37IvfTopK, q38LshPairs, q62KmeansStep)
+  /** Product-quantization geometry: 64 dims → `PqM`=4 subspaces × `PqSub`=16
+    * dims, `PqK`=4 centroids per subspace (2 bits/subspace → an 8-bit code
+    * per vector; production PQ uses M=8..64, K=256 — same plan shape). */
+  private[graft] val PqM = 4
+  private[graft] val PqK = 4
+  private[graft] val PqSub = 16
+
+  /** Literal initial codebooks (±0.2-entry subvectors from the splitmix
+    * mixer, like `kmeansInit`) — shared verbatim with the q65 oracle SQL.
+    * `pqTrain` refines them per-subspace with Lloyd iterations. */
+  private[graft] val pqCodebooks: Seq[Seq[Array[Double]]] =
+    (0 until PqM).map { m =>
+      (0 until PqK).map { c =>
+        Array.tabulate(PqSub) { d =>
+          if ((graft.functions.Mix.splitmix((5000 + (m * PqK + c) * PqSub + d).toLong) & 1L) == 1L)
+            0.2 else -0.2
+        }
+      }
+    }
+
+  private def pqSubvec(embCol: org.apache.spark.sql.Column, m: Int) =
+    slice(embCol, m * PqSub + 1, PqSub)
+
+  /** q65 — product-quantization ANN (ADC: asymmetric distance computation).
+    * The FINE-quantizer half of a 100 TB vector index (q37/q62 are the
+    * coarse half): every corpus vector compresses to an M-byte code —
+    * 64 dims × 4 bytes → 4 codes here, a 64× memory cut at production
+    * M/K — and queries score against codes without decompressing, via a
+    * per-query lookup table of query-subvector→centroid distances.
+    *
+    * Plan shape at scale: encoding is a map-only pass (codebooks are plan
+    * literals; at real size they broadcast); the scored relation shuffles
+    * only (vec_id, M codes) — the raw vectors never move — and the per-query
+    * distance table is K×M doubles, broadcast with the query set. ADC
+    * distance = Σ_m d²(q_m, cb_m[code_m]), an upper-ish approximation of
+    * the true L2²; `SimilaritySpec` pins the ADC→exact recall and that
+    * trained codebooks strictly cut reconstruction error. Everything is
+    * integer codes + fixed-order double sums over literal codebooks, so the
+    * whole query is reproducible in DuckDB SQL and fully hash-checked. */
+  val q65PqAdc: Q = Q(
+    "q65_ann_pq_adc",
+    (s, dir) => {
+      val e = embWithNorm(s, dir)
+      // encode: per-subspace argmin of cc − 2·x_m·c (‖x_m‖² cancels)
+      val scoreCols = for {
+        m <- 0 until PqM; c <- 0 until PqK
+        cb = pqCodebooks(m)(c); cc = cb.map(v => v * v).sum
+      } yield (lit(cc) - lit(2.0) * Similarity.dot(pqSubvec(col("emb"), m), typedLit(cb)))
+        .as(s"s${m}_$c")
+      val coded = e.select((col("vec_id") +: scoreCols): _*)
+        .select((col("vec_id") +: (0 until PqM).map(m =>
+          argminCols((0 until PqK).map(c => s"s${m}_$c")).as(s"code$m"))): _*)
+      // per-query ADC lookup table: exact d²(q_m, centroid c) for every (m, c)
+      val qdCols = for {
+        m <- 0 until PqM; c <- 0 until PqK
+        cb = pqCodebooks(m)(c); cc = cb.map(v => v * v).sum
+        qs = pqSubvec(col("q_emb"), m)
+      } yield (Similarity.dot(qs, qs) - lit(2.0) * Similarity.dot(qs, typedLit(cb)) + lit(cc))
+        .as(s"qd${m}_$c")
+      val qd = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+        .select((col("q_id") +: qdCols): _*)
+      val adc = (0 until PqM).map { m =>
+        (0 until PqK - 1).foldRight(col(s"qd${m}_${PqK - 1}")) { (c, rest) =>
+          when(col(s"code$m") === c, col(s"qd${m}_$c")).otherwise(rest)
+        }
+      }.reduce(_ + _)
+      coded.join(broadcast(qd), col("vec_id") =!= col("q_id"))
+        .withColumn("adc_dist", adc)
+        .withColumn("pq_code",
+          (col("code0") + col("code1") * lit(PqK) + col("code2") * lit(PqK * PqK)
+            + col("code3") * lit(PqK * PqK * PqK)).cast("long"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("adc_dist").asc, col("vec_id").asc))
+          .cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("pq_code"),
+          col("adc_dist"), col("rank"))
+    },
+    Some {
+      def subSql(embExpr: String, m: Int) = s"$embExpr[${m * PqSub + 1}:${(m + 1) * PqSub}]"
+      val scoreDefs = (for {
+        m <- 0 until PqM; c <- 0 until PqK
+        cb = pqCodebooks(m)(c); cc = cb.map(v => v * v).sum
+      } yield s"    $cc - 2.0 * list_dot_product(${subSql("emb", m)}, ${arraySql(cb)}) AS s${m}_$c")
+        .mkString(",\n")
+      def argminSql(m: Int) = {
+        val whens = (0 until PqK - 1).map { c =>
+          val conds = (c + 1 until PqK).map(j => s"s${m}_$c <= s${m}_$j").mkString(" AND ")
+          s"WHEN $conds THEN $c"
+        }.mkString(" ")
+        s"CASE $whens ELSE ${PqK - 1} END"
+      }
+      val codeDefs = (0 until PqM).map(m => s"    ${argminSql(m)} AS code$m").mkString(",\n")
+      val qdDefs = (for {
+        m <- 0 until PqM; c <- 0 until PqK
+        cb = pqCodebooks(m)(c); cc = cb.map(v => v * v).sum
+        qs = subSql("q_emb", m)
+      } yield s"    list_dot_product($qs, $qs) - 2.0 * list_dot_product($qs, ${arraySql(cb)}) + $cc AS qd${m}_$c")
+        .mkString(",\n")
+      val adcSql = (0 until PqM).map { m =>
+        val whens = (0 until PqK - 1).map(c => s"WHEN code$m = $c THEN qd${m}_$c").mkString(" ")
+        s"(CASE $whens ELSE qd${m}_${PqK - 1} END)"
+      }.mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |scored AS (
+         |  SELECT vec_id,
+         |$scoreDefs
+         |  FROM e),
+         |coded AS (
+         |  SELECT vec_id,
+         |$codeDefs
+         |  FROM scored),
+         |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 8),
+         |qd AS (
+         |  SELECT q_id,
+         |$qdDefs
+         |  FROM q),
+         |paired AS (
+         |  SELECT qd.q_id, coded.vec_id AS neighbor_id,
+         |    CAST(code0 + code1 * $PqK + code2 * ${PqK * PqK} + code3 * ${PqK * PqK * PqK} AS BIGINT) AS pq_code,
+         |    $adcSql AS adc_dist
+         |  FROM coded JOIN qd ON coded.vec_id <> qd.q_id)
+         |SELECT q_id, neighbor_id, pq_code, adc_dist, rank FROM (
+         |  SELECT q_id, neighbor_id, pq_code, adc_dist,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |           ORDER BY adc_dist ASC, neighbor_id ASC) AS BIGINT) AS rank
+         |  FROM paired) r
+         |WHERE rank <= 5""".stripMargin
+    })
+
+  /** Train the PQ codebooks: independent Lloyd runs per subspace over the
+    * sliced corpus (each is a tiny k-means — the corpus shuffles nothing,
+    * and at 100 TB the M runs share one cached pass per iteration). */
+  def pqTrain(spark: org.apache.spark.sql.SparkSession, dir: String,
+      iters: Int): Seq[Seq[Array[Double]]] =
+    (0 until PqM).map { m =>
+      val sub = embWithNorm(spark, dir).select(pqSubvec(col("emb"), m).as("emb"))
+      kmeansIterateOn(sub, iters, pqCodebooks(m))._1
+    }
+
+  /** Mean PQ reconstruction error Σ_m ‖x_m − cb_m[code_m]‖² over the corpus
+    * — the quantizer-quality metric `SimilaritySpec` pins (trained < initial). */
+  def pqReconstructionError(spark: org.apache.spark.sql.SparkSession, dir: String,
+      books: Seq[Seq[Array[Double]]]): Double = {
+    val terms = books.zipWithIndex.map { case (cbs, m) =>
+      val qs = pqSubvec(col("emb"), m)
+      least(cbs.map { cb =>
+        val cc = cb.map(v => v * v).sum
+        Similarity.dot(qs, qs) - lit(2.0) * Similarity.dot(qs, typedLit(cb)) + lit(cc)
+      }: _*)
+    }
+    embWithNorm(spark, dir).select(terms.reduce(_ + _).as("err"))
+      .agg(avg(col("err"))).head().getDouble(0)
+  }
+
+  val all: Seq[Q] = Seq(q35BruteForceTopK, q36LshTopK, q37IvfTopK, q38LshPairs,
+    q62KmeansStep, q65PqAdc)
 }

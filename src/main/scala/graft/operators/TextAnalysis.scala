@@ -180,6 +180,74 @@ object TextAnalysis {
       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
       |        FROM documents) raw) feat""".stripMargin))
 
+  /** q64 — repetition signals (the Gopher/C4-style quality gates a training
+    * corpus filters on): per-doc duplicate-word fraction, most-common-word
+    * fraction, and the same two signals over 2-grams — high values mark
+    * boilerplate/spam documents that length or stopword ratios (q24) miss.
+    *
+    * Plan: ONE shuffle — the doc_id repartition is reused by both
+    * `groupBy(doc_id, token)` passes AND their per-doc rollups (hash
+    * partitioning on doc_id satisfies every downstream clustering), and the
+    * final join of the two stat relations is doc_id-aligned too. Ratios are
+    * divisions of exact longs, so both engines produce identical doubles. */
+  val q64RepetitionSignals: Q = Q(
+    "q64_repetition_signals",
+    (s, dir) => {
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val docs = Tables(s, dir, "documents")
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+      val wx = docs.select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
+      val wordStats = wx.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(
+          sum(col("c")).as("n_words"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_word_c"))
+      val bg = wx.withColumn("nxt", lead(col("word"), 1).over(win))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("word"), col("nxt")).as("bigram"))
+      val bgStats = bg.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(
+          sum(col("c")).as("n_bigrams"),
+          count(lit(1)).as("n_distinct_bg"),
+          max(col("c")).as("top_bigram_c"))
+      wordStats.join(bgStats, "doc_id")
+        .select(col("doc_id"), col("n_words"),
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_words").cast("double"))
+            .as("dup_word_frac"),
+          (col("top_word_c").cast("double") / col("n_words").cast("double"))
+            .as("top_word_frac"),
+          (lit(1.0) - col("n_distinct_bg").cast("double") / col("n_bigrams").cast("double"))
+            .as("dup_bigram_frac"),
+          (col("top_bigram_c").cast("double") / col("n_bigrams").cast("double"))
+            .as("top_bigram_frac"))
+    },
+    Some(raw"""WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+      |t2 AS (SELECT doc_id, w FROM toks WHERE len(w) >= 2),
+      |wx AS (SELECT doc_id, unnest(w) AS word FROM t2),
+      |wc AS (SELECT doc_id, word, COUNT(*) AS c FROM wx GROUP BY 1, 2),
+      |ws AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+      |         COUNT(*) AS n_distinct, MAX(c) AS top_word_c
+      |  FROM wc GROUP BY 1),
+      |bx AS (
+      |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bigram
+      |  FROM t2),
+      |bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bx GROUP BY 1, 2),
+      |bs AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |         COUNT(*) AS n_distinct_bg, MAX(c) AS top_bigram_c
+      |  FROM bc GROUP BY 1)
+      |SELECT ws.doc_id, n_words,
+      |  1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_frac,
+      |  CAST(top_word_c AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac,
+      |  1.0 - CAST(n_distinct_bg AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS dup_bigram_frac,
+      |  CAST(top_bigram_c AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS top_bigram_frac
+      |FROM ws JOIN bs ON bs.doc_id = ws.doc_id""".stripMargin))
+
   /** q39 — winnowing fingerprints (the rolling-hash document-fingerprint
     * scheme): hash every 8-char k-gram, slide a 4-position window, keep each
     * window's minimum hash, distinct per doc. Codegen-friendly layout:
@@ -222,5 +290,5 @@ object TextAnalysis {
       |FROM fps GROUP BY doc_id""".stripMargin))
 
   val all: Seq[Q] = Seq(q20TextStats, q21TokenCount, q22LangId, q23Fingerprint,
-    q24Quality, q39Winnowing)
+    q24Quality, q39Winnowing, q64RepetitionSignals)
 }

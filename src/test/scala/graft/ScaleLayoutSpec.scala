@@ -106,6 +106,26 @@ class ScaleLayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == 4)
   }
 
+  test("sorted-range write produces disjoint per-file key ranges") {
+    val path = Files.createTempDirectory("graft-sortrange").toString + "/li"
+    val li = Tables(spark, TestSpark.sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    ScaleLayout.writeSortedRange(li, path, "l_orderkey", partitions = 6)
+    assert(spark.read.parquet(path).count() == li.count())
+    // each parquet file must hold a contiguous range disjoint from the others
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length > 1, "expected multiple range files")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("l_orderkey"), max("l_orderkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(hi <= lo2, s"overlapping file ranges: hi=$hi lo2=$lo2")
+    }
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val events = Tables(spark, TestSpark.sf0001, "events")
       .select(col("user_id"), col("event_id"), col("value"))

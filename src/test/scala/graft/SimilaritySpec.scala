@@ -111,6 +111,60 @@ class SimilaritySpec extends AnyFunSuite {
     assert(centroids.exists(_.exists(v => math.abs(math.abs(v) - 0.25) > 1e-6)))
   }
 
+  test("PQ-ADC codes and distances match a driver-side reimplementation") {
+    import graft.operators.SimilaritySearch
+    val out = SimilaritySearch.q65PqAdc.run(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val byQuery = out.groupBy(_._1)
+    assert(byQuery.size == 8 && byQuery.values.forall(_.length == 5))
+    // independent reimplementation: encode + ADC in plain Scala with the
+    // same left-to-right fold order as Similarity.dot
+    val embs = graft.sources.Tables(spark, TestSpark.sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def sub(v: Array[Double], m: Int) =
+      v.slice(m * SimilaritySearch.PqSub, (m + 1) * SimilaritySearch.PqSub)
+    def encode(v: Array[Double]): IndexedSeq[Int] =
+      (0 until SimilaritySearch.PqM).map { m =>
+        val s = SimilaritySearch.pqCodebooks(m).map { cb =>
+          cb.map(x => x * x).sum - 2.0 * dot(sub(v, m), cb)
+        }
+        s.indices.minBy(i => (s(i), i)) // ties to lowest index, like argminCols
+      }
+    def adc(q: Array[Double], codes: IndexedSeq[Int]): Double =
+      (0 until SimilaritySearch.PqM).map { m =>
+        val cb = SimilaritySearch.pqCodebooks(m)(codes(m))
+        val qs = sub(q, m)
+        dot(qs, qs) - 2.0 * dot(qs, cb) + cb.map(x => x * x).sum
+      }.reduce(_ + _)
+    out.foreach { case (qId, nId, pqCode, adcDist, _) =>
+      val codes = encode(embs(nId))
+      val expectedCode = codes.zipWithIndex
+        .map { case (c, m) => c.toLong * math.pow(SimilaritySearch.PqK, m).toLong }.sum
+      assert(pqCode == expectedCode, s"code mismatch for neighbor $nId")
+      assert(math.abs(adc(embs(qId), codes) - adcDist) < 1e-12,
+        s"ADC mismatch for ($qId, $nId)")
+    }
+  }
+
+  test("trained PQ codebooks strictly cut reconstruction error") {
+    import graft.operators.SimilaritySearch
+    val e0 = SimilaritySearch.pqReconstructionError(
+      spark, TestSpark.sf0001, SimilaritySearch.pqCodebooks)
+    val trained = SimilaritySearch.pqTrain(spark, TestSpark.sf0001, 3)
+    val e1 = SimilaritySearch.pqReconstructionError(spark, TestSpark.sf0001, trained)
+    assert(e0 > 0 && java.lang.Double.isFinite(e0))
+    assert(e1 < e0, s"training did not improve reconstruction: $e0 -> $e1")
+    assert(trained.length == SimilaritySearch.PqM &&
+      trained.forall(_.length == SimilaritySearch.PqK) &&
+      trained.forall(_.forall(_.length == SimilaritySearch.PqSub)))
+  }
+
   test("optimizer rule rewrites the HOF dot pattern to the native expression, bit-exact") {
     val prev = spark.experimental.extraOptimizations
     // a real scan, so constant folding can't pre-evaluate the projection
