@@ -145,6 +145,51 @@ object ScaleLayout {
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(path)
 
+  /** Morton (Z-order) value: min-max quantize each clustering column to
+    * `bits` bits, then interleave the bits — nearby z-values are nearby in
+    * EVERY dimension, so range-partitioning on the z-value clusters files in
+    * all clustering columns at once. Pure bit arithmetic on longs (shift/and/
+    * or), fully inside whole-stage codegen. 16 bits × 2-4 dims stays well
+    * under the 63-bit budget. */
+  private[operators] def zValue(cols: Seq[org.apache.spark.sql.Column],
+      mins: Seq[Double], maxs: Seq[Double], bits: Int): org.apache.spark.sql.Column = {
+    val maxQ = (1L << bits) - 1
+    val quantized = cols.zipWithIndex.map { case (c, i) =>
+      val span = math.max(maxs(i) - mins(i), java.lang.Double.MIN_NORMAL)
+      least(lit(maxQ), greatest(lit(0L),
+        floor((c.cast("double") - lit(mins(i))) / lit(span) * lit(maxQ.toDouble)).cast("long")))
+    }
+    val terms = for {
+      b <- 0 until bits; (q, i) <- quantized.zipWithIndex
+    } yield shiftleft(shiftright(q, b).bitwiseAND(lit(1L)), b * cols.length + i)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-order clustered write — the multi-dimension generalization of
+    * `writeSortedRange`: each output file holds a compact BOX in the space of
+    * the clustering columns, so parquet min/max footer stats prune files for
+    * predicates on ANY subset of those columns (a 1-D sort only serves its
+    * own leading column). The min/max scan is one cheap aggregate pass; the
+    * clustered write is one range shuffle on the z-value + a local sort —
+    * the same two-pass cost as a plain global sort at any scale. This is the
+    * lake layout for multi-tenant scan patterns at 100 TB (time × tenant,
+    * partkey × suppkey) where no single sort key serves every query. */
+  def writeZOrdered(df: DataFrame, path: String, clusterCols: Seq[String],
+      partitions: Int, bits: Int = 16): Unit = {
+    val stats = df.agg(
+      min(col(clusterCols.head)).cast("double"),
+      (clusterCols.tail.map(c => min(col(c)).cast("double")) ++
+        clusterCols.map(c => max(col(c)).cast("double"))): _*).head()
+    val n = clusterCols.length
+    val mins = (0 until n).map(stats.getDouble)
+    val maxs = (n until 2 * n).map(stats.getDouble)
+    df.withColumn("__z", zValue(clusterCols.map(col), mins, maxs, bits))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Salted equi-join for skewed keys. AQE's skew-join handles sort-merge
     * skew at runtime; this explicit variant covers plans AQE can't rewrite
     * (e.g. when the skewed side feeds a co-grouped computation). The big

@@ -126,6 +126,42 @@ class ScaleLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("z-ordered write clusters files in BOTH dimensions; 1-D sort does not") {
+    val base = Files.createTempDirectory("graft-zorder").toString
+    val li = Tables(spark, TestSpark.sf0001, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+    ScaleLayout.writeZOrdered(li, base + "/z", Seq("l_partkey", "l_suppkey"), partitions = 8)
+    ScaleLayout.writeSortedRange(li, base + "/lin", "l_partkey", partitions = 8)
+    assert(spark.read.parquet(base + "/z").count() == li.count())
+
+    def fileBoxes(path: String): Array[(Long, Long, Long, Long)] =
+      new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath).agg(
+            min("l_partkey"), max("l_partkey"),
+            min("l_suppkey"), max("l_suppkey")).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+    val zBoxes = fileBoxes(base + "/z")
+    val linBoxes = fileBoxes(base + "/lin")
+    assert(zBoxes.length > 2 && linBoxes.length > 2)
+
+    // a predicate on the NON-sort dimension: bottom quarter of l_suppkey.
+    // The 1-D layout's files each span ~the full suppkey range (no pruning);
+    // the z-ordered files are boxes, so footer stats skip some files.
+    val (sLo, sHi) = {
+      val r = li.agg(min("l_suppkey"), max("l_suppkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val cut = sLo + (sHi - sLo) / 4
+    def touching(boxes: Array[(Long, Long, Long, Long)]) =
+      boxes.count { case (_, _, lo, hi) => lo <= cut }
+    assert(touching(linBoxes) == linBoxes.length,
+      "1-D layout unexpectedly clustered the second dimension")
+    assert(touching(zBoxes) < zBoxes.length,
+      s"z-order produced no second-dimension pruning: ${zBoxes.mkString(", ")}")
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val events = Tables(spark, TestSpark.sf0001, "events")
       .select(col("user_id"), col("event_id"), col("value"))

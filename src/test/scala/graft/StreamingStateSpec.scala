@@ -105,6 +105,57 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L, 3L)) // no replays, nothing lost
   }
 
+  test("stream dedup emits keep/drop verdicts with keeper ids, and expires state") {
+    import graft.streaming.StreamDedup
+    val dir = Files.createTempDirectory("graft-sdedup").toFile.getAbsolutePath
+    def docsDf(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "ts_s", "content_hash")
+        .select(col("doc_id"), col("ts_s").cast("timestamp").as("ts"), col("content_hash"))
+
+    // batch 1: two distinct contents, one in-batch duplicate
+    docsDf(Seq(
+      (1L, "2024-01-01 00:00:00", "aaa"),
+      (2L, "2024-01-01 00:01:00", "bbb"),
+      (3L, "2024-01-01 00:02:00", "aaa")))
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val stream = spark.readStream
+      .schema(docsDf(Seq((0L, "2024-01-01 00:00:00", "x")).toSeq).schema)
+      .parquet(dir)
+      .as[StreamDedup.Doc]
+      .transform(StreamDedup.dedupStream(_, ttlMinutes = 30))
+    val q = stream.writeStream.format("memory").queryName("sdedup_test")
+      .outputMode("append").start()
+    q.processAllAvailable()
+
+    // batch 2: cross-batch duplicate (state hit) + a fresh content
+    docsDf(Seq(
+      (4L, "2024-01-01 00:05:00", "aaa"),
+      (5L, "2024-01-01 00:06:00", "ccc")))
+      .coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+
+    // batch 3: far-future doc advances the watermark past every TTL, so the
+    // earlier hashes expire — a NEW "aaa" after expiry is a keeper again
+    docsDf(Seq((6L, "2024-01-01 09:00:00", "zzz")))
+      .coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    docsDf(Seq((7L, "2024-01-01 09:01:00", "aaa")))
+      .coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sdedup_test")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(got(1L) == (true, None))
+    assert(got(2L) == (true, None))
+    assert(got(3L) == (false, Some(1L)))   // in-batch duplicate of 1
+    assert(got(4L) == (false, Some(1L)))   // cross-batch duplicate of 1
+    assert(got(5L) == (true, None))
+    assert(got(7L) == (true, None), "expired state must not mark 7 as dup")
+  }
+
   test("dropDuplicatesWithinWatermark dedupes replays across batches") {
     val dir = Files.createTempDirectory("graft-dedup").toFile.getAbsolutePath
     eventsDf(Seq(
