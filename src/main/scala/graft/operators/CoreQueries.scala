@@ -305,6 +305,55 @@ object CoreQueries {
       |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin))
 
+  /** §2.5 completion next to q11's row-navigation set: the RANKING family
+    * over a tie-PRONE order (rank/dense_rank/percent_rank/cume_dist are
+    * peer-group functions — deterministic under ties, which is why the date
+    *-only window is safe to hash-check), positional reads over the total
+    * order (first/nth_value need a unique sort or engines disagree on which
+    * peer they read), and a RANGE frame keyed on day number — the
+    * trailing-window aggregate (30-day spend) that at 100 TB replaces a
+    * self-join-per-row; one shuffle on the partition key serves all three
+    * window specs since they share partitioning. */
+  val q66WindowAnalytics: Q = Q(
+    "q66_window_analytics",
+    (s, dir) => {
+      val wt = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate").asc)
+      val wu = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wr = Window.partitionBy(col("o_custkey")).orderBy(col("day_no").asc)
+        .rangeBetween(-30, Window.currentRow)
+      Tables(s, dir, "orders")
+        .withColumn("day_no", datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")).cast("long"))
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          rank().over(wt).cast("long").as("date_rank"),
+          dense_rank().over(wt).cast("long").as("date_dense_rank"),
+          percent_rank().over(wt).as("pct_rank"),
+          cume_dist().over(wt).as("cdist"),
+          first(col("o_totalprice")).over(wu).as("first_price"),
+          nth_value(col("o_totalprice"), 2).over(wu).as("second_price"),
+          count(lit(1)).over(wr).as("trail30_cnt"),
+          sum(money(col("o_totalprice"))).over(wr).cast("double").as("trail30_spend"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      |  CAST(RANK() OVER wt AS BIGINT) AS date_rank,
+      |  CAST(DENSE_RANK() OVER wt AS BIGINT) AS date_dense_rank,
+      |  PERCENT_RANK() OVER wt AS pct_rank,
+      |  CUME_DIST() OVER wt AS cdist,
+      |  FIRST_VALUE(o_totalprice) OVER wu AS first_price,
+      |  NTH_VALUE(o_totalprice, 2) OVER wu AS second_price,
+      |  COUNT(*) OVER wr AS trail30_cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER wr AS DOUBLE) AS trail30_spend
+      |FROM (SELECT *, date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_no
+      |      FROM orders) o
+      |WINDOW
+      |  wt AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC),
+      |  wu AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+      |  wr AS (PARTITION BY o_custkey ORDER BY day_no ASC
+      |         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""".stripMargin))
+
   /** Pivot (status → columns). Spark's pivot yields NULL for absent combos;
     * both sides coalesce to 0 for parity with FILTERed counts. */
   val q28Pivot: Q = Q(
@@ -724,7 +773,8 @@ object CoreQueries {
     q01PricingSummary, q02SelectiveRevenue, q03JoinAgg, q04OrderEnrichment,
     q05PrimaryFlag, q06UnionDistinct, q07DimLocations, q08Master,
     q09ScalarNorm, q10TopKPerGroup, q11CustomerOrderSeq, q12TopOrders,
-    q13MonthlyRollup, q25MultiKeyNormJoin, q26SetOps, q27Rollup, q28Pivot, q63CubeGrouping,
+    q13MonthlyRollup, q25MultiKeyNormJoin, q26SetOps, q27Rollup, q28Pivot,
+    q63CubeGrouping, q66WindowAnalytics,
     q29AsofJoin, q41SemiAnti, q42RangeJoin, q43Funnel, q44CohortRetention,
     q45Profile, q46SqlApi, q47TopKNative, q53ExactStats, q54Unpivot,
     q55FuzzyMatch, q56GapFill, q57StringAgg, q58DateParts, q59NullSafeJoin)

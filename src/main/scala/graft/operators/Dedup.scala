@@ -670,6 +670,141 @@ object Dedup {
        |  CAST(n_hit AS DOUBLE) / n_sh >= 0.5 AS contaminated
        |FROM hits""".stripMargin))
 
+  /** q67 — the END-TO-END curation pipeline a training corpus runs through:
+    * language gate (q22's marker vote) → quality gate (q24's score) → exact
+    * -dedup keeper (q23's normalized fingerprint, global-min canonical) →
+    * benchmark decontamination (q61's shingle containment). Every doc gets
+    * an audit verdict: the FIRST failing gate as drop_reason, or kept=true.
+    *
+    * This is the composition test: four independent signal relations built
+    * from ONE documents scan, each shuffling on its own key (word for the
+    * lexicon vote, fingerprint for the keeper, shingle for contamination),
+    * joined back on doc_id at the end. At 100 TB each stage is the already
+    * -proven scale shape (broadcast lexicon, hash-agg keeper, bucketed
+    * shingle join) and the final doc_id joins co-partition; keeper choice is
+    * the GLOBAL min doc_id per fingerprint (well-defined independent of the
+    * other gates — survivor-aware keepers are q60's variant). Short docs
+    * (<3 words, no shingles) are uncontaminated by definition. */
+  val q67CurationPipeline: Q = Q(
+    "q67_curation_pipeline",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      // language vote (q22 shape: broadcast lexicon, per-doc argmax)
+      val lex = TextAnalysis.langLexicon.toDF("cand_lang", "word")
+      val lang = docs
+        .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("word"))
+        .join(broadcast(lex), Seq("word"))
+        .groupBy(col("doc_id"), col("cand_lang"))
+        .agg(count(lit(1)).as("matches"))
+        .groupBy(col("doc_id"))
+        .agg(min(struct(negate(col("matches")).as("neg"), col("cand_lang").as("lang"))).as("top"))
+        .select(col("doc_id"), col("top.lang").as("pred_lang"))
+      // quality score (q24's exact double expression)
+      val stopArr = array(TextAnalysis.stopwords.map(lit): _*)
+      val qual = docs
+        .withColumn("w", TextAnalysis.words(col("text")))
+        .withColumn("word_count", size(col("w")).cast("long"))
+        .select(col("doc_id"),
+          (least(col("word_count").cast("double") / lit(100.0), lit(1.0)) * lit(0.3)
+            + (size(array_distinct(col("w"))).cast("double") / col("word_count")) * lit(0.4)
+            + (lit(1.0) - size(filter(col("w"), x => array_contains(stopArr, x))).cast("double")
+                / col("word_count")) * lit(0.3)).as("quality_score"))
+      // exact-dedup keeper (q23's normalized fingerprint, min doc_id wins);
+      // window-min over the fp partition: ONE shuffle, no corpus-sized
+      // broadcast — the keeper relation is as big as the corpus at scale
+      val keeperW = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      val fpKeeper = docs.select(col("doc_id"),
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary")).as("fp"))
+        .withColumn("keeper_id", min(col("doc_id")).over(keeperW))
+      // contamination vs the doc_id%100=0 benchmark slice (q61 shape)
+      val sh = shingled(s, dir)
+      val benchShingles = sh.filter(col("doc_id") % 100 === 0)
+        .select(col("h")).distinct().withColumn("hit", lit(1))
+      val contam = sh.filter(col("doc_id") % 100 =!= 0)
+        .join(benchShingles, Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)) >= 0.5)
+          .as("contam"))
+      val verdict = docs.select(col("doc_id"))
+        .join(lang, Seq("doc_id"), "left")
+        .join(qual, Seq("doc_id"))
+        .join(fpKeeper.select(col("doc_id"), col("keeper_id")), Seq("doc_id"))
+        .join(contam, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("pred_lang"), lit("und")).as("predicted_lang"),
+          col("quality_score"),
+          (col("doc_id") === col("keeper_id")).as("is_keeper"),
+          coalesce(col("contam"), lit(false)).as("contaminated"))
+      verdict.select(col("doc_id"), col("predicted_lang"), col("quality_score"),
+        col("is_keeper"), col("contaminated"),
+        when(col("doc_id") % 100 === 0, "benchmark")
+          .when(col("predicted_lang") === "und", "language")
+          .when(col("quality_score") < 0.55, "quality")
+          .when(!col("is_keeper"), "duplicate")
+          .when(col("contaminated"), "contaminated")
+          .as("drop_reason"))
+        .withColumn("kept", col("drop_reason").isNull)
+    },
+    Some(s"""WITH $shingleOracleCte,
+      |lex(cand_lang, word) AS (VALUES
+      |  ('en','the'),('en','a'),('en','of'),
+      |  ('sqlish','query'),('sqlish','table'),('sqlish','scan'),('sqlish','join'),
+      |  ('streamish','stream'),('streamish','window'),('streamish','batch')),
+      |exploded AS (SELECT doc_id, unnest(w) AS word FROM toks),
+      |votes AS (
+      |  SELECT doc_id, cand_lang, COUNT(*) AS matches
+      |  FROM exploded JOIN lex USING (word) GROUP BY 1, 2),
+      |best AS (
+      |  SELECT doc_id, cand_lang AS pred_lang
+      |  FROM (SELECT doc_id, cand_lang,
+      |          ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                             ORDER BY matches DESC, cand_lang ASC) AS rn
+      |        FROM votes) r WHERE rn = 1),
+      |qual AS (
+      |  SELECT doc_id,
+      |    least(CAST(len(w) AS DOUBLE) / 100.0, 1.0) * 0.3
+      |      + (CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS BIGINT)) * 0.4
+      |      + (1.0 - CAST(len(list_filter(w, x -> list_contains(['the','a','of','and'], x))) AS DOUBLE)
+      |          / CAST(len(w) AS BIGINT)) * 0.3 AS quality_score
+      |  FROM toks),
+      |fp AS (
+      |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      |  FROM documents),
+      |keeper AS (SELECT fp, MIN(doc_id) AS keeper_id FROM fp GROUP BY 1),
+      |bench AS (SELECT DISTINCT shingle FROM exs WHERE doc_id % 100 = 0),
+      |contam AS (
+      |  SELECT e.doc_id,
+      |    CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / COUNT(*) >= 0.5 AS contam
+      |  FROM exs e LEFT JOIN bench b ON b.shingle = e.shingle
+      |  WHERE e.doc_id % 100 <> 0 GROUP BY e.doc_id),
+      |verdict AS (
+      |  SELECT d.doc_id,
+      |    COALESCE(best.pred_lang, 'und') AS predicted_lang,
+      |    qual.quality_score,
+      |    d.doc_id = k.keeper_id AS is_keeper,
+      |    COALESCE(contam.contam, FALSE) AS contaminated
+      |  FROM documents d
+      |  LEFT JOIN best ON best.doc_id = d.doc_id
+      |  JOIN qual ON qual.doc_id = d.doc_id
+      |  JOIN fp ON fp.doc_id = d.doc_id
+      |  JOIN keeper k ON k.fp = fp.fp
+      |  LEFT JOIN contam ON contam.doc_id = d.doc_id)
+      |SELECT doc_id, predicted_lang, quality_score, is_keeper, contaminated,
+      |  drop_reason, drop_reason IS NULL AS kept
+      |FROM (
+      |  SELECT *,
+      |    CASE WHEN doc_id % 100 = 0 THEN 'benchmark'
+      |         WHEN predicted_lang = 'und' THEN 'language'
+      |         WHEN quality_score < 0.55 THEN 'quality'
+      |         WHEN NOT is_keeper THEN 'duplicate'
+      |         WHEN contaminated THEN 'contaminated'
+      |         ELSE NULL END AS drop_reason
+      |  FROM verdict) v""".stripMargin))
+
   val all: Seq[Q] = Seq(q30ExactDedup, q31NgramJaccard, q32MinHashLsh, q33SimHash,
-    q34EmbeddingDups, q48DedupClusters, q60DedupSurvivors, q61Contamination)
+    q34EmbeddingDups, q48DedupClusters, q60DedupSurvivors, q61Contamination,
+    q67CurationPipeline)
 }
