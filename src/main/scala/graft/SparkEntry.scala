@@ -15,6 +15,7 @@ object SparkEntry {
     streaming.Events.all ++
     operators.TextAnalysis.all ++
     operators.Dedup.all ++
+    operators.Graph.all ++
     operators.SimilaritySearch.all ++
     operators.Multimodal.all
 
