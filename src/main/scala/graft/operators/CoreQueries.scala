@@ -533,6 +533,57 @@ object CoreQueries {
       |UNION ALL SELECT 'o_orderpriority', COUNT(*) FILTER (o_orderpriority IS NULL),
       |  COUNT(DISTINCT o_orderpriority) FROM orders""".stripMargin))
 
+  /** q69 — distributed EXACT quantiles by rank selection, plus the mergeable
+    * sketch checked against its own guarantee. Exact path: row_number over
+    * the value order, pick the value at rank floor((n−1)·p)+1 — pure integer
+    * rank arithmetic (no interpolation, whose a+(b−a)·f vs a·(1−f)+b·f
+    * freedom differs across engines), and the value AT a rank is well-defined
+    * under ties because the order is by value. Approx path:
+    * percentile_approx (KLL-ish mergeable sketch — the 100 TB quantile
+    * plan: partial sketches merge associatively, no global sort) validated
+    * IN-QUERY against the exact rank band its accuracy parameter promises,
+    * so the oracle checks a deterministic boolean (q19's technique). One
+    * window pass + one hash aggregation; the sort is per-group within the
+    * window shuffle, never global. */
+  val q69ExactQuantiles: Q = Q(
+    "q69_exact_quantiles",
+    (s, dir) => {
+      val wOrd = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      val wAll = Window.partitionBy(col("o_orderpriority"))
+      def target(p: Int) = expr(s"(cnt - 1) * $p div 100 + 1")
+      val slack = expr("cnt div 10000 + 1")
+      Tables(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+        .withColumn("rn", row_number().over(wOrd).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(wAll))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max(col("cnt")).as("n_orders"),
+          min(when(col("rn") === target(25), col("o_totalprice"))).as("p25"),
+          min(when(col("rn") === target(50), col("o_totalprice"))).as("p50"),
+          min(when(col("rn") === target(95), col("o_totalprice"))).as("p95"),
+          min(when(col("rn") === greatest(target(50) - slack, lit(1L)), col("o_totalprice"))).as("lo50"),
+          min(when(col("rn") === least(target(50) + slack, col("cnt")), col("o_totalprice"))).as("hi50"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("approx50"))
+        .select(col("o_orderpriority"), col("n_orders"), col("p25"), col("p50"), col("p95"),
+          (col("approx50") >= col("lo50") && col("approx50") <= col("hi50"))
+            .as("approx_median_ok"))
+    },
+    Some("""WITH r AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+      |  FROM orders)
+      |SELECT o_orderpriority,
+      |  CAST(MAX(cnt) AS BIGINT) AS n_orders,
+      |  MIN(CASE WHEN rn = (cnt - 1) * 25 // 100 + 1 THEN o_totalprice END) AS p25,
+      |  MIN(CASE WHEN rn = (cnt - 1) * 50 // 100 + 1 THEN o_totalprice END) AS p50,
+      |  MIN(CASE WHEN rn = (cnt - 1) * 95 // 100 + 1 THEN o_totalprice END) AS p95,
+      |  TRUE AS approx_median_ok
+      |FROM r GROUP BY o_orderpriority""".stripMargin))
+
   /** The SQL-string entry point (spark.sql over registered views) — the
     * other half of the API surface; same Catalyst plan as the DataFrame
     * formulation. */
@@ -777,5 +828,6 @@ object CoreQueries {
     q63CubeGrouping, q66WindowAnalytics,
     q29AsofJoin, q41SemiAnti, q42RangeJoin, q43Funnel, q44CohortRetention,
     q45Profile, q46SqlApi, q47TopKNative, q53ExactStats, q54Unpivot,
+    q69ExactQuantiles,
     q55FuzzyMatch, q56GapFill, q57StringAgg, q58DateParts, q59NullSafeJoin)
 }

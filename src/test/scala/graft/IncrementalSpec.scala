@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Incremental
+import graft.sources.Tables
+
+class IncrementalSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def events = Tables(spark, TestSpark.sf0001, "events")
+    .select(col("event_type"), col("value"), col("user_id"))
+
+  test("delta-merged state equals the state computed from the full data") {
+    val full = events
+    // split the lake into three "arrival batches" by a row-local predicate
+    val parts = Seq(
+      full.filter(col("user_id") % 3 === 0),
+      full.filter(col("user_id") % 3 === 1),
+      full.filter(col("user_id") % 3 === 2))
+    val fromFull = Incremental.readState(
+      Incremental.aggState(full, "event_type", "value", "user_id"), "event_type")
+    val incremental = Incremental.readState(
+      Incremental.mergeStates(
+        parts.map(Incremental.aggState(_, "event_type", "value", "user_id")),
+        "event_type"), "event_type")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+         r.getDouble(5), r.getLong(6)))).toMap
+    assert(snap(incremental) == snap(fromFull))
+  }
+
+  test("hierarchical merge (merge of merges) equals flat merge") {
+    val full = events
+    val p = (0 until 4).map(i => full.filter(col("user_id") % 4 === i))
+    val states = p.map(Incremental.aggState(_, "event_type", "value", "user_id"))
+    val flat = Incremental.readState(
+      Incremental.mergeStates(states, "event_type"), "event_type")
+    val hier = Incremental.readState(
+      Incremental.mergeStates(Seq(
+        Incremental.mergeStates(states.take(2), "event_type"),
+        Incremental.mergeStates(states.drop(2), "event_type")), "event_type"),
+      "event_type")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.toSeq.drop(1))).toMap
+    assert(snap(hier) == snap(flat))
+  }
+
+  test("approx_distinct from merged sketches tracks the exact distinct count") {
+    val state = Incremental.mergeStates(
+      (0 until 3).map(i => Incremental.aggState(
+        events.filter(col("user_id") % 3 === i), "event_type", "value", "user_id")),
+      "event_type")
+    val got = Incremental.readState(state, "event_type")
+      .select(col("event_type"), col("approx_distinct")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(got(k) - ex).toDouble <= math.max(2.0, ex * 0.05),
+        s"$k: approx ${got(k)} vs exact $ex")
+    }
+  }
+}
