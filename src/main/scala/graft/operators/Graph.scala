@@ -80,13 +80,26 @@ object Graph {
   val q68PagerankStep: Q = Q(
     "q68_pagerank_step",
     (s, dir) => {
-      val es = edges(s, dir)
-      val outdeg = es.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      val n = outdeg.agg(count(lit(1)).as("n_nodes"))
-      val contrib = es.join(outdeg, "src")
+      // undirected bipartite graph: both directions of one pair relation.
+      // Degrees per side come from two aggregations of the SAME pair scan,
+      // and each pair row emits BOTH its contributions via explode — the
+      // pair relation is computed twice total (deg + contrib), not once per
+      // direction per consumer as the naive edges-union formulation would.
+      val pairs = Tables(s, dir, "lineitem")
+        .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sn"))
+        .distinct()
+      val degP = pairs.groupBy("p").agg(count(lit(1)).as("deg_p"))
+      val degS = pairs.groupBy("sn").agg(count(lit(1)).as("deg_s"))
+      val n = degP.agg(count(lit(1)).as("np"))
+        .crossJoin(degS.agg(count(lit(1)).as("ns")))
+        .select((col("np") + col("ns")).as("n_nodes"))
+      val contrib = pairs.join(degP, "p").join(degS, "sn")
         .join(broadcast(n))
-        .select(col("dst"),
-          expr(s"$Scale div (outdeg * n_nodes)").as("g"))
+        .select(explode(array(
+          struct(col("sn").as("dst"), expr(s"$Scale div (deg_p * n_nodes)").as("g")),
+          struct(col("p").as("dst"), expr(s"$Scale div (deg_s * n_nodes)").as("g"))))
+          .as("c"))
+        .select(col("c.dst").as("dst"), col("c.g").as("g"))
       contrib.groupBy(col("dst"))
         .agg(count(lit(1)).as("in_degree"), sum(col("g")).as("in_scaled"))
         .join(broadcast(n))
