@@ -533,6 +533,37 @@ object CoreQueries {
       |UNION ALL SELECT 'o_orderpriority', COUNT(*) FILTER (o_orderpriority IS NULL),
       |  COUNT(DISTINCT o_orderpriority) FROM orders""".stripMargin))
 
+  /** q70 — the SKEW-SALTED join as an oracle-checked query: events (the big,
+    * skewed side — synthetic user activity is Zipf-ish) ⨝ a per-user tier
+    * dim through `ScaleLayout.saltedJoin` with 8 salts, then a per-tier
+    * rollup. The oracle is the PLAIN join + rollup — proving the salt/
+    * replicate/strip transform is result-invariant, which is the whole
+    * contract of manual skew mitigation. At 100 TB the salted form bounds
+    * any single reducer to 1/salts of the hottest key's rows (the shape AQE
+    * skew-join can't produce when the join feeds a co-grouped downstream
+    * computation, since AQE won't split a partition that a later stage
+    * requires intact). */
+  val q70SaltedJoin: Q = Q(
+    "q70_salted_join",
+    (s, dir) => {
+      val events = Tables(s, dir, "events")
+        .select(col("user_id"), col("value"))
+      val users = events.select(col("user_id")).distinct()
+        .withColumn("tier", pmod(col("user_id"), lit(3)))
+      ScaleLayout.saltedJoin(events, users, "user_id", salts = 8)
+        .groupBy(col("tier"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          moneySum(col("value")).cast("double").as("total_value"))
+    },
+    Some("""SELECT u.tier, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events e
+      |JOIN (SELECT user_id, user_id % 3 AS tier
+      |      FROM (SELECT DISTINCT user_id FROM events) du) u
+      |  ON u.user_id = e.user_id
+      |GROUP BY u.tier""".stripMargin))
+
   /** q69 — distributed EXACT quantiles by rank selection, plus the mergeable
     * sketch checked against its own guarantee. Exact path: row_number over
     * the value order, pick the value at rank floor((n−1)·p)+1 — pure integer
@@ -583,6 +614,49 @@ object CoreQueries {
       |  MIN(CASE WHEN rn = (cnt - 1) * 95 // 100 + 1 THEN o_totalprice END) AS p95,
       |  TRUE AS approx_median_ok
       |FROM r GROUP BY o_orderpriority""".stripMargin))
+
+  /** q72 — SCD Type-2 dimension build from history: each customer's
+    * order-priority timeline collapses into versioned validity intervals
+    * (effective_from/effective_to, NULL-open current row, version number).
+    * The warehouse pattern the reference's whole-replace dimension loads
+    * (create_dimensions.py) cannot express: history is PRESERVED, and the
+    * as-of join (q29) can resolve any past date against it. Two window
+    * passes over ONE o_custkey shuffle: change detection via lag, then
+    * interval close via lead over the filtered change rows — no self-join,
+    * no correlated subquery, linear at any scale. */
+  val q72Scd2: Q = Q(
+    "q72_scd2_dimension",
+    (s, dir) => {
+      val wOrd = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val changes = Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderpriority"), col("o_orderdate"), col("o_orderkey"))
+        .withColumn("prev_prio", lag(col("o_orderpriority"), 1).over(wOrd))
+        .filter(col("prev_prio").isNull || col("prev_prio") =!= col("o_orderpriority"))
+      val wVer = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      changes
+        .withColumn("version", row_number().over(wVer).cast("long"))
+        .withColumn("effective_to", lead(col("o_orderdate"), 1).over(wVer))
+        .select(col("o_custkey"), col("o_orderpriority"),
+          col("o_orderdate").as("effective_from"), col("effective_to"),
+          col("version"), col("effective_to").isNull.as("is_current"))
+    },
+    Some("""WITH ordered AS (
+      |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+      |    LAG(o_orderpriority, 1) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_prio
+      |  FROM orders),
+      |changes AS (
+      |  SELECT * FROM ordered
+      |  WHERE prev_prio IS NULL OR prev_prio <> o_orderpriority)
+      |SELECT o_custkey, o_orderpriority,
+      |  o_orderdate AS effective_from,
+      |  LEAD(o_orderdate, 1) OVER w AS effective_to,
+      |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+      |  LEAD(o_orderdate, 1) OVER w IS NULL AS is_current
+      |FROM changes
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin))
 
   /** The SQL-string entry point (spark.sql over registered views) — the
     * other half of the API surface; same Catalyst plan as the DataFrame
@@ -828,6 +902,6 @@ object CoreQueries {
     q63CubeGrouping, q66WindowAnalytics,
     q29AsofJoin, q41SemiAnti, q42RangeJoin, q43Funnel, q44CohortRetention,
     q45Profile, q46SqlApi, q47TopKNative, q53ExactStats, q54Unpivot,
-    q69ExactQuantiles,
+    q69ExactQuantiles, q70SaltedJoin, q72Scd2,
     q55FuzzyMatch, q56GapFill, q57StringAgg, q58DateParts, q59NullSafeJoin)
 }

@@ -54,4 +54,40 @@ object Incremental {
       col("min_v"), col("max_v"),
       round(hll_sketch_estimate(col("distinct_sk"))).cast("long")
         .as("approx_distinct"))
+
+  /** Streaming refresh: a foreachBatch sink that folds each micro-batch's
+    * partial state into the parquet state table — the streaming half of
+    * the materialized view (batch deltas and stream batches are the SAME
+    * algebraic merge). Parquet is not transactional, so exactly-once comes
+    * from a batch-id marker: a replayed micro-batch (restart between sink
+    * write and checkpoint commit) is detected and skipped, making the
+    * non-idempotent merge effectively idempotent; the state rewrite itself
+    * uses the rename-aside staged swap (crash-recoverable). State table
+    * size is O(groups), so the per-batch rewrite is cheap at any lake
+    * size; a production sink at huge group cardinality would swap parquet
+    * for a keyed store and merge in place. */
+  def streamingRefresh(stream: DataFrame, key: String, valueCol: String,
+      distinctCol: String, statePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val hPath = new org.apache.hadoop.fs.Path(statePath)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(statePath + s"._batch_$batchId")
+        if (!fs.exists(marker)) {
+          val delta = aggState(batch, key, valueCol, distinctCol)
+          val merged =
+            if (fs.exists(hPath))
+              mergeStates(Seq(spark.read.parquet(statePath), delta), key)
+            else delta
+          val staging = statePath + ".refresh"
+          merged.write.mode("overwrite").parquet(staging)
+          if (fs.exists(hPath)) ScaleLayout.stagedSwap(fs, statePath, staging)
+          else fs.rename(new org.apache.hadoop.fs.Path(staging), hPath)
+          fs.create(marker, true).close()
+        }
+      }
+      .start()
 }

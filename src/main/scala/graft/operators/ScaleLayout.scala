@@ -61,7 +61,7 @@ object ScaleLayout {
   /** Swap `staging` into place at `path` with the source renamed aside
     * first: a crash mid-swap leaves the data recoverable at `path + ".old"`
     * instead of deleted (the delete of the old copy is the LAST step). */
-  private def stagedSwap(fs: org.apache.hadoop.fs.FileSystem,
+  private[operators] def stagedSwap(fs: org.apache.hadoop.fs.FileSystem,
       path: String, staging: String): Unit = {
     import org.apache.hadoop.fs.Path
     val old = new Path(path + ".old")

@@ -248,6 +248,65 @@ object TextAnalysis {
       |  CAST(top_bigram_c AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS top_bigram_frac
       |FROM ws JOIN bs ON bs.doc_id = ws.doc_id""".stripMargin))
 
+  /** q71 — inverted index build: term → (document frequency, ordered
+    * posting list). The search-index construction pass of a corpus
+    * pipeline: explode distinct terms per doc, ONE shuffle on term, and
+    * the posting list materializes as a numerically-sorted doc_id string
+    * (sort the LONGS, then stringify — lexical sort would order "10"
+    * before "9"). At 100 TB posting lists for stop-like terms get long;
+    * production would cap or shard them (df is the guard column this
+    * query already carries). */
+  val q71InvertedIndex: Q = Q(
+    "q71_inverted_index",
+    (s, dir) => Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("term"))
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string"))).as("postings")),
+    Some("""SELECT term, COUNT(*) AS df,
+      |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+      |FROM (
+      |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS term
+      |  FROM documents) t
+      |GROUP BY term""".stripMargin))
+
+  /** q73 — rare-term salience: each doc's top-3 terms ranked by term
+    * frequency DESC, corpus document-frequency ASC (rare beats common),
+    * term ASC — the integer-pair surrogate for tf-idf that avoids libm:
+    * ln() is not correctly-rounded and engines legitimately differ in the
+    * last ulp, so a log-weighted score can't be hash-compared; the integer
+    * ranking is monotone in the same signals and bit-portable. Two
+    * aggregations (term-grain tf, corpus-grain df) + a broadcast-sized df
+    * join at test scale (keyed shuffle at corpus scale) + per-doc top-k. */
+  val q73RareTerms: Q = Q(
+    "q73_rare_terms",
+    (s, dir) => {
+      val terms = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      tf.join(df, "term")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
+    },
+    Some("""WITH tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |        FROM documents) x
+      |  GROUP BY doc_id, term),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+      |SELECT doc_id, term, tf, df, rank FROM (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |           ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS BIGINT) AS rank
+      |  FROM tf JOIN df USING (term)) r
+      |WHERE rank <= 3""".stripMargin))
+
   /** q39 — winnowing fingerprints (the rolling-hash document-fingerprint
     * scheme): hash every 8-char k-gram, slide a 4-position window, keep each
     * window's minimum hash, distinct per doc. Codegen-friendly layout:
@@ -290,5 +349,5 @@ object TextAnalysis {
       |FROM fps GROUP BY doc_id""".stripMargin))
 
   val all: Seq[Q] = Seq(q20TextStats, q21TokenCount, q22LangId, q23Fingerprint,
-    q24Quality, q39Winnowing, q64RepetitionSignals)
+    q24Quality, q39Winnowing, q64RepetitionSignals, q71InvertedIndex, q73RareTerms)
 }

@@ -47,6 +47,37 @@ class IncrementalSpec extends AnyFunSuite {
     assert(snap(hier) == snap(flat))
   }
 
+  test("streaming foreachBatch refresh converges to the batch recompute, skipping replays") {
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("graft-mv-src").toFile.getAbsolutePath
+    val state = Files.createTempDirectory("graft-mv").toFile.getAbsolutePath + "/state"
+    val ckpt = Files.createTempDirectory("graft-mv-ck").toFile.getAbsolutePath
+
+    val full = events
+    val b1 = full.filter(col("user_id") % 2 === 0)
+    val b2 = full.filter(col("user_id") % 2 === 1)
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    def start() = Incremental.streamingRefresh(
+      spark.readStream.schema(full.schema).parquet(src),
+      "event_type", "value", "user_id", state, ckpt)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    b2.coalesce(1).write.mode("append").parquet(src)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.toSeq.drop(1))).toMap
+    val got = snap(Incremental.readState(spark.read.parquet(state), "event_type"))
+    val want = snap(Incremental.readState(
+      Incremental.aggState(full, "event_type", "value", "user_id"), "event_type"))
+    assert(got == want)
+
+    // a replayed batch id must be a no-op (exactly-once via the marker)
+    val before = snap(Incremental.readState(spark.read.parquet(state), "event_type"))
+    val q3 = start(); q3.processAllAvailable(); q3.stop() // no new data
+    assert(snap(Incremental.readState(spark.read.parquet(state), "event_type")) == before)
+  }
+
   test("approx_distinct from merged sketches tracks the exact distinct count") {
     val state = Incremental.mergeStates(
       (0 until 3).map(i => Incremental.aggState(
