@@ -16,6 +16,7 @@ object SparkEntry {
     operators.TextAnalysis.all ++
     operators.Dedup.all ++
     operators.Graph.all ++
+    operators.Cdc.all ++
     operators.SimilaritySearch.all ++
     operators.Multimodal.all
 

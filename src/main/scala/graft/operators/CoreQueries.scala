@@ -658,6 +658,48 @@ object CoreQueries {
       |FROM changes
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin))
 
+  /** q74 — the 6-way star join (TPC-H Q5 shape): customer ⨝ orders ⨝
+    * lineitem ⨝ supplier ⨝ nation ⨝ region, revenue per nation for one
+    * region-year, with the local-supplier condition (c_nationkey =
+    * s_nationkey) that makes the join graph a cycle. This is the query
+    * Catalyst's join reordering + broadcast selection exists for: region/
+    * nation broadcast everywhere, the date filter pushes into the orders
+    * scan, and the only big shuffles are lineitem⨝orders (orderkey) and
+    * the customer⨝supplier nation condition riding the existing joins —
+    * declared declaratively, the optimizer picks the order. */
+  val q74StarJoin: Q = Q(
+    "q74_star_join",
+    (s, dir) => {
+      val customer = Tables(s, dir, "customer")
+      val orders = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2024-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("2025-01-01").cast("timestamp"))
+      val lineitem = Tables(s, dir, "lineitem")
+      val supplier = Tables(s, dir, "supplier")
+      val nation = Tables(s, dir, "nation")
+      val region = Tables(s, dir, "region").filter(col("r_name") === "ASIA")
+      customer
+        .join(orders, col("c_custkey") === col("o_custkey"))
+        .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("double").as("revenue"))
+    },
+    Some("""SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '2024-01-01'
+      |  AND o_orderdate < TIMESTAMP '2025-01-01'
+      |GROUP BY n_name""".stripMargin))
+
   /** The SQL-string entry point (spark.sql over registered views) — the
     * other half of the API surface; same Catalyst plan as the DataFrame
     * formulation. */
@@ -902,6 +944,6 @@ object CoreQueries {
     q63CubeGrouping, q66WindowAnalytics,
     q29AsofJoin, q41SemiAnti, q42RangeJoin, q43Funnel, q44CohortRetention,
     q45Profile, q46SqlApi, q47TopKNative, q53ExactStats, q54Unpivot,
-    q69ExactQuantiles, q70SaltedJoin, q72Scd2,
+    q69ExactQuantiles, q70SaltedJoin, q72Scd2, q74StarJoin,
     q55FuzzyMatch, q56GapFill, q57StringAgg, q58DateParts, q59NullSafeJoin)
 }

@@ -577,6 +577,51 @@ object SimilaritySearch {
       .agg(avg(col("err"))).head().getDouble(0)
   }
 
+  /** q75 — per-vector array analytics (the embedding-column profiling
+    * pass): dimension count, L2 norm, extreme values, and the argmax
+    * dimension. Norms ride the quantized-integer trick (floor(x·2²⁰+0.5)
+    * is exact in double for float32 inputs, squares sum exactly in longs
+    * — order-independent, engine-portable; sqrt is correctly-rounded
+    * IEEE). argmax is "lowest position among maximal values" — computed
+    * with a struct-min in Spark and a max-join in the oracle, same
+    * semantics. Explode + hash-agg (codegen) instead of the higher-order
+    * aggregate (CodegenFallback) — one shuffle on vec_id. */
+  val q75VectorStats: Q = Q(
+    "q75_vector_stats",
+    (s, dir) => {
+      val x = graft.sources.Tables(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "vf")))
+        .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
+          col("vf").cast("double").as("v"))
+        .withColumn("vq", floor(col("v") * lit(1048576.0) + lit(0.5)).cast("long"))
+      x.groupBy(col("vec_id"))
+        .agg(
+          count(lit(1)).as("n_dims"),
+          sum(col("vq") * col("vq")).as("norm2_scaled"),
+          max(col("v")).as("max_val"),
+          min(col("v")).as("min_val"),
+          min(struct(negate(col("v")).as("nv"), col("pos").as("p"))).as("am"))
+        .select(col("vec_id"), col("n_dims"), col("norm2_scaled"),
+          col("max_val"), col("min_val"),
+          col("am.p").as("argmax_pos"),
+          (sqrt(col("norm2_scaled").cast("double")) / lit(1048576.0)).as("l2_norm"))
+    },
+    Some("""WITH x AS (
+      |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+      |         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos
+      |  FROM embeddings),
+      |agg AS (
+      |  SELECT vec_id, COUNT(*) AS n_dims,
+      |    CAST(SUM(CAST(floor(v*1048576.0+0.5) AS BIGINT)
+      |           * CAST(floor(v*1048576.0+0.5) AS BIGINT)) AS BIGINT) AS norm2_scaled,
+      |    MAX(v) AS max_val, MIN(v) AS min_val
+      |  FROM x GROUP BY vec_id)
+      |SELECT agg.vec_id, n_dims, norm2_scaled, max_val, min_val,
+      |  (SELECT MIN(pos) FROM x WHERE x.vec_id = agg.vec_id AND x.v = agg.max_val)
+      |    AS argmax_pos,
+      |  sqrt(CAST(norm2_scaled AS DOUBLE)) / 1048576.0 AS l2_norm
+      |FROM agg""".stripMargin))
+
   val all: Seq[Q] = Seq(q35BruteForceTopK, q36LshTopK, q37IvfTopK, q38LshPairs,
-    q62KmeansStep, q65PqAdc)
+    q62KmeansStep, q65PqAdc, q75VectorStats)
 }
