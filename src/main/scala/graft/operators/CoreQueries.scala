@@ -700,6 +700,70 @@ object CoreQueries {
       |  AND o_orderdate < TIMESTAMP '2025-01-01'
       |GROUP BY n_name""".stripMargin))
 
+  /** q77 — schema evolution across snapshots: a v1 projection (no
+    * o_orderpriority column) unions with the evolved v2 table via
+    * unionByName(allowMissingColumns) — v1 rows NULL-fill the added
+    * column, v2 rows keep it, and downstream aggregation treats the NULL
+    * domain explicitly. The relational half of lake schema evolution;
+    * the file-level half (parquet mergeSchema over mixed-schema
+    * directories) is spec-proven in ScaleLayoutSpec. */
+  val q77SchemaEvolution: Q = Q(
+    "q77_schema_evolution",
+    (s, dir) => {
+      val v1 = Tables(s, dir, "orders")
+        .filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("snapshot", lit("v1"))
+      val v2 = Tables(s, dir, "orders")
+        .filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .withColumn("snapshot", lit("v2"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .groupBy(col("snapshot"), coalesce(col("o_orderpriority"), lit("<pre-evolution>"))
+          .as("priority"))
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).cast("double").as("revenue"))
+    },
+    Some("""SELECT snapshot, COALESCE(o_orderpriority, '<pre-evolution>') AS priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |         NULL AS o_orderpriority, 'v1' AS snapshot
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |         o_orderpriority, 'v2' AS snapshot
+      |  FROM orders WHERE o_orderkey % 2 <> 0) u
+      |GROUP BY snapshot, COALESCE(o_orderpriority, '<pre-evolution>')""".stripMargin))
+
+  /** q78 — cross-engine table checksum (the migration-parity audit: "did
+    * the switch off the reference engine lose a row or flip a value?").
+    * Per status group: row count + XOR of a 60-bit md5 over a canonical
+    * '|'-joined rendering of the integer/string columns. XOR is the
+    * order-independent combine that cannot overflow (a SUM of 2⁶⁰-scale
+    * hashes would overflow BIGINT at ~2¹³ rows); restricting the rendering
+    * to ints/strings sidesteps engine float-formatting differences. At
+    * 100 TB this is one pruned scan + a 5-group aggregate — the cheapest
+    * possible full-table integrity probe. */
+  val q78TableChecksum: Q = Q(
+    "q78_table_checksum",
+    (s, dir) => Tables(s, dir, "orders")
+      .select(col("o_orderstatus"),
+        conv(substring(md5(concat_ws("|",
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority")).cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("checksum")),
+    Some("""SELECT o_orderstatus, COUNT(*) AS n_rows,
+      |  BIT_XOR(('0x' || substr(md5(
+      |    CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' ||
+      |    o_orderstatus || '|' || o_orderpriority), 1, 15))::BIGINT) AS checksum
+      |FROM orders GROUP BY o_orderstatus""".stripMargin))
+
   /** The SQL-string entry point (spark.sql over registered views) — the
     * other half of the API surface; same Catalyst plan as the DataFrame
     * formulation. */
@@ -945,5 +1009,6 @@ object CoreQueries {
     q29AsofJoin, q41SemiAnti, q42RangeJoin, q43Funnel, q44CohortRetention,
     q45Profile, q46SqlApi, q47TopKNative, q53ExactStats, q54Unpivot,
     q69ExactQuantiles, q70SaltedJoin, q72Scd2, q74StarJoin,
+    q77SchemaEvolution, q78TableChecksum,
     q55FuzzyMatch, q56GapFill, q57StringAgg, q58DateParts, q59NullSafeJoin)
 }

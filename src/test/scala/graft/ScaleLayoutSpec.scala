@@ -162,6 +162,27 @@ class ScaleLayoutSpec extends AnyFunSuite {
       s"z-order produced no second-dimension pruning: ${zBoxes.mkString(", ")}")
   }
 
+  test("mergeSchema reads a mixed-schema lake directory with NULL-filled old files") {
+    val path = Files.createTempDirectory("graft-evolve").toString + "/tbl"
+    val orders = Tables(spark, TestSpark.sf0001, "orders")
+    // v1 files: three columns; v2 files add o_orderpriority
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("append").parquet(path)
+    orders.filter(col("o_orderkey") % 2 =!= 0)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .write.mode("append").parquet(path)
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(merged.columns.toSet ==
+      Set("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))
+    assert(merged.count() == orders.count())
+    // old files surface the evolved column as NULL, new files keep values
+    assert(merged.filter(col("o_orderkey") % 2 === 0)
+      .filter(col("o_orderpriority").isNotNull).count() == 0)
+    assert(merged.filter(col("o_orderkey") % 2 =!= 0)
+      .filter(col("o_orderpriority").isNull).count() == 0)
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val events = Tables(spark, TestSpark.sf0001, "events")
       .select(col("user_id"), col("event_id"), col("value"))
