@@ -72,11 +72,23 @@ object Incremental {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.hadoop.fs.Path
         val spark = batch.sparkSession
-        val hPath = new org.apache.hadoop.fs.Path(statePath)
+        val hPath = new Path(statePath)
         val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val marker = new org.apache.hadoop.fs.Path(statePath + s"._batch_$batchId")
-        if (!fs.exists(marker)) {
+        // the high-water batch id travels INSIDE the state dir as an
+        // underscore-prefixed file (invisible to the parquet reader), so
+        // the rename swap publishes data + marker atomically — a replayed
+        // batch after ANY crash point sees either the old state (marker <
+        // id: merge runs again, old data) or the new one (marker == id:
+        // skip). No crash point can double-merge.
+        val mergedIds =
+          if (fs.exists(hPath))
+            fs.listStatus(hPath).map(_.getPath.getName)
+              .filter(_.startsWith("_merged_batch_"))
+              .map(_.stripPrefix("_merged_batch_").toLong)
+          else Array.empty[Long]
+        if (!mergedIds.exists(_ >= batchId)) {
           val delta = aggState(batch, key, valueCol, distinctCol)
           val merged =
             if (fs.exists(hPath))
@@ -84,9 +96,9 @@ object Incremental {
             else delta
           val staging = statePath + ".refresh"
           merged.write.mode("overwrite").parquet(staging)
+          fs.create(new Path(staging, s"_merged_batch_$batchId"), true).close()
           if (fs.exists(hPath)) ScaleLayout.stagedSwap(fs, statePath, staging)
-          else fs.rename(new org.apache.hadoop.fs.Path(staging), hPath)
-          fs.create(marker, true).close()
+          else { fs.rename(new Path(staging), hPath); () }
         }
       }
       .start()

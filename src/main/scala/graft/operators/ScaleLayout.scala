@@ -176,11 +176,17 @@ object ScaleLayout {
     * partkey × suppkey) where no single sort key serves every query. */
   def writeZOrdered(df: DataFrame, path: String, clusterCols: Seq[String],
       partitions: Int, bits: Int = 16): Unit = {
+    require(bits * clusterCols.length <= 62,
+      s"z-value needs ${bits * clusterCols.length} bits; max 62")
     val stats = df.agg(
       min(col(clusterCols.head)).cast("double"),
       (clusterCols.tail.map(c => min(col(c)).cast("double")) ++
         clusterCols.map(c => max(col(c)).cast("double"))): _*).head()
     val n = clusterCols.length
+    if (stats.isNullAt(0)) { // empty or all-NULL input: nothing to cluster
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val mins = (0 until n).map(stats.getDouble)
     val maxs = (n until 2 * n).map(stats.getDouble)
     df.withColumn("__z", zValue(clusterCols.map(col), mins, maxs, bits))
