@@ -720,8 +720,8 @@ object Dedup {
     * benchmark decontamination (q61's shingle containment). Every doc gets
     * an audit verdict: the FIRST failing gate as drop_reason, or kept=true.
     *
-    * This is the composition test: four independent signal relations built
-    * from ONE documents scan, each shuffling on its own key (word for the
+    * This is the composition test: four independent signal relations over
+    * the same pruned documents source, each shuffling on its own key (word for the
     * lexicon vote, fingerprint for the keeper, shingle for contamination),
     * joined back on doc_id at the end. At 100 TB each stage is the already
     * -proven scale shape (broadcast lexicon, hash-agg keeper, bucketed

@@ -185,11 +185,13 @@ object TextAnalysis {
     * fraction, and the same two signals over 2-grams — high values mark
     * boilerplate/spam documents that length or stopword ratios (q24) miss.
     *
-    * Plan: ONE shuffle — the doc_id repartition is reused by both
-    * `groupBy(doc_id, token)` passes AND their per-doc rollups (hash
-    * partitioning on doc_id satisfies every downstream clustering), and the
-    * final join of the two stat relations is doc_id-aligned too. Ratios are
-    * divisions of exact longs, so both engines produce identical doubles. */
+    * Plan: the doc_id hash partitioning satisfies every downstream
+    * clustering — each branch's `groupBy(doc_id, token)`, its per-doc
+    * rollup, AND the final join all run without further exchanges; the
+    * token stream shuffles once per branch (word + bigram — Spark
+    * materializes rather than shares subplans; verified 3 exchanges
+    * total in the executed plan). Ratios are divisions of exact longs,
+    * so both engines produce identical doubles. */
   val q64RepetitionSignals: Q = Q(
     "q64_repetition_signals",
     (s, dir) => {
