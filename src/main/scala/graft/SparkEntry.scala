@@ -17,6 +17,7 @@ object SparkEntry {
     operators.Dedup.all ++
     operators.Graph.all ++
     operators.Cdc.all ++
+    operators.Sketches.all ++
     operators.SimilaritySearch.all ++
     operators.Multimodal.all
 
