@@ -764,6 +764,42 @@ object CoreQueries {
       |    o_orderstatus || '|' || o_orderpriority), 1, 15))::BIGINT) AS checksum
       |FROM orders GROUP BY o_orderstatus""".stripMargin))
 
+  /** q82 — last-touch attribution: each purchase's value is credited to the
+    * most recent PRIOR marketing touch (click/view/signup) of the same
+    * user — `last(..., ignoreNulls)` over a frame ending 1 row before
+    * current, the windowed form of the correlated "latest preceding row"
+    * lookup (a per-row as-of self-join collapsed into ONE user-partition
+    * window pass). Purchases with no prior touch credit 'direct'. Rollup:
+    * per-channel purchase count + exact decimal revenue. */
+  val q82Attribution: Q = Q(
+    "q82_attribution",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, dir, "events")
+        .withColumn("touch",
+          last(when(col("event_type").isin("click", "view", "signup"), col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
+        .agg(
+          count(lit(1)).as("purchases"),
+          moneySum(col("value")).cast("double").as("attributed_revenue"))
+    },
+    Some("""SELECT COALESCE(touch, 'direct') AS channel,
+      |  COUNT(*) AS purchases,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_revenue
+      |FROM (
+      |  SELECT event_type, value,
+      |    LAST_VALUE(CASE WHEN event_type IN ('click','view','signup')
+      |               THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      |  FROM events) t
+      |WHERE event_type = 'purchase'
+      |GROUP BY COALESCE(touch, 'direct')""".stripMargin))
+
   /** The SQL-string entry point (spark.sql over registered views) — the
     * other half of the API surface; same Catalyst plan as the DataFrame
     * formulation. */
@@ -1009,6 +1045,6 @@ object CoreQueries {
     q29AsofJoin, q41SemiAnti, q42RangeJoin, q43Funnel, q44CohortRetention,
     q45Profile, q46SqlApi, q47TopKNative, q53ExactStats, q54Unpivot,
     q69ExactQuantiles, q70SaltedJoin, q72Scd2, q74StarJoin,
-    q77SchemaEvolution, q78TableChecksum,
+    q77SchemaEvolution, q78TableChecksum, q82Attribution,
     q55FuzzyMatch, q56GapFill, q57StringAgg, q58DateParts, q59NullSafeJoin)
 }
