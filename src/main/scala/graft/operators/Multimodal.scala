@@ -137,6 +137,88 @@ object Multimodal {
       }
   }
 
+  /** A parsed PCM WAV payload: format geometry + data-chunk sample bounds. */
+  final case class WavInfo(channels: Int, sampleRate: Int, bitsPerSample: Int,
+      dataStart: Int, dataEnd: Int) {
+    def nSamples: Long = (dataEnd - dataStart).toLong / (bitsPerSample / 8) / channels
+    def durationMs: Double = nSamples * 1000.0 / sampleRate
+  }
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  /** REAL audio decoder for RIFF/WAVE PCM (audioFormat 1, 16-bit): walks
+    * the chunk list (any order, unknown chunks skipped per the RIFF spec,
+    * odd-size chunks padded), validates the fmt geometry against the data
+    * bounds, and returns sample-addressable bounds. None for anything
+    * else — truncated RIFF, float/compressed WAV, 8/24-bit — which
+    * callers route to the declared stub, exactly like `decodePnm`. */
+  def decodeWav(bytes: Array[Byte]): Option[WavInfo] = {
+    def tag(i: Int, t: String): Boolean =
+      i + 4 <= bytes.length && t.indices.forall(k => bytes(i + k) == t.charAt(k))
+    if (!tag(0, "RIFF") || bytes.length < 44 || !tag(8, "WAVE")) return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+    var data: Option[(Int, Int)] = None
+    while (i + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val size = le32(bytes, i + 4)
+      val body = i + 8
+      if (body + size > bytes.length || size < 0) return None
+      if (tag(i, "fmt ")) {
+        if (size < 16) return None
+        val audioFormat = le16(bytes, body)
+        if (audioFormat != 1) return None // PCM only; float/ADPCM → stub
+        fmt = Some((le16(bytes, body + 2), le32(bytes, body + 4).toInt,
+          le16(bytes, body + 14)))
+      } else if (tag(i, "data")) {
+        data = Some((body, body + size.toInt))
+      }
+      i = body + size.toInt + (size.toInt & 1) // RIFF pads odd chunks
+    }
+    for {
+      (ch, rate, bits) <- fmt
+      (start, end) <- data
+      if ch > 0 && rate > 0 && bits == 16 &&
+        (end - start) % (ch * 2) == 0 && end <= bytes.length
+    } yield WavInfo(ch, rate, bits, start, end)
+  }
+
+  /** Mean absolute amplitude of the PCM16 samples in [start, end) —
+    * normalized to [0, 1] against full scale (32768). */
+  def pcm16MeanAbs(bytes: Array[Byte], start: Int, end: Int): Double = {
+    var s = 0L; var i = start
+    while (i + 1 < end) {
+      val v = (le16(bytes, i) << 16) >> 16 // sign-extend
+      s += math.abs(v); i += 2
+    }
+    val n = (end - start) / 2
+    if (n == 0) 0.0 else s.toDouble / n / 32768.0
+  }
+
+  /** Typed audio-feature row. */
+  final case class AudioFeature(doc_id: Long, channels: Long, sample_rate: Long,
+      n_samples: Long, duration_ms: Double, mean_abs_amplitude: Double)
+
+  /** Partition-wise audio feature extraction (same iterator-in/iterator-out
+    * batch shape as `decodeFeatures`): REAL features for PCM16 WAV, None
+    * rows filtered for payloads needing a codec this container lacks. */
+  def audioFeatures(spark: SparkSession, withData: DataFrame): Dataset[AudioFeature] = {
+    import spark.implicits._
+    withData.select(col("doc_id"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeWav(bytes).map { w =>
+            AudioFeature(id, w.channels.toLong, w.sampleRate.toLong, w.nSamples,
+              w.durationMs, pcm16MeanAbs(bytes, w.dataStart, w.dataEnd))
+          }
+        }
+      }
+  }
+
   /** Typed frame row for the video-style frame-sampling path. */
   final case class FrameFeature(
       doc_id: Long, frame_idx: Long, frame_md5: String, mean_byte: Double)

@@ -64,6 +64,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.map(_.frame_md5).distinct.length == 3)
   }
 
+  test("decodeWav parses real PCM16 WAV payloads and rejects non-PCM/truncated ones") {
+    def wav(channels: Int, rate: Int, samples: Seq[Short],
+        extraChunk: Boolean = false): Array[Byte] = {
+      val bb = java.nio.ByteBuffer
+        .allocate(128 + samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val dataLen = samples.length * 2
+      bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+      if (extraChunk) { // unknown chunk before fmt — must be skipped
+        bb.put("LIST".getBytes); bb.putInt(4); bb.put("INFO".getBytes)
+      }
+      bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(1.toShort); bb.putShort(channels.toShort)
+      bb.putInt(rate); bb.putInt(rate * channels * 2)
+      bb.putShort((channels * 2).toShort); bb.putShort(16.toShort)
+      bb.put("data".getBytes); bb.putInt(dataLen)
+      samples.foreach(s => bb.putShort(s))
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    val mono = wav(1, 8000, Seq[Short](0, 16384, -16384, 32767))
+    val info = Multimodal.decodeWav(mono).get
+    assert(info.channels == 1 && info.sampleRate == 8000 && info.nSamples == 4)
+    assert(math.abs(info.durationMs - 0.5) < 1e-9)
+    val amp = Multimodal.pcm16MeanAbs(mono, info.dataStart, info.dataEnd)
+    assert(math.abs(amp - (0.0 + 16384 + 16384 + 32767) / 4 / 32768.0) < 1e-12)
+    // chunk skipping: unknown LIST chunk before fmt
+    assert(Multimodal.decodeWav(wav(2, 44100, Seq[Short](1, 2, 3, 4), extraChunk = true))
+      .exists(w => w.channels == 2 && w.nSamples == 2))
+    // rejects: truncated, non-RIFF, and declared-but-missing data bytes
+    assert(Multimodal.decodeWav(mono.take(20)).isEmpty)
+    assert(Multimodal.decodeWav("not audio at all".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(mono.dropRight(2)).isEmpty)
+
+    // the Dataset path: real WAVs decode, garbage rows are filtered
+    val rows = Seq(
+      (1L, mono),
+      (2L, wav(2, 16000, Seq[Short](100, -100, 200, -200, 300, -300))),
+      (3L, "plain text".getBytes))
+    val df = rows.toDF("doc_id", "data")
+    val got = Multimodal.audioFeatures(spark, df)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(2L).channels == 2 && got(2L).sample_rate == 16000 && got(2L).n_samples == 3)
+  }
+
   test("decodeFeatures (mapPartitions) matches the declarative feature slice") {
     val docs = Seq((1L, "hello world", 11L), (2L, "abc", 3L))
       .toDF("doc_id", "text", "n_chars")
