@@ -174,6 +174,61 @@ object GraftProps extends Properties("graft") {
     }
   }
 
+  private val genSnapshots: Gen[(List[(Long, String)], List[(Long, String)])] =
+    for {
+      oldRows <- Gen.listOf(Gen.zip(Gen.choose(1L, 20L), Gen.oneOf("a", "b", "c")))
+      newRows <- Gen.listOf(Gen.zip(Gen.choose(1L, 20L), Gen.oneOf("a", "b", "c")))
+    } yield (oldRows.distinctBy(_._1).take(15), newRows.distinctBy(_._1).take(15))
+
+  property("CDC diff applied to the old snapshot reconstructs the new one") =
+    forAll(genSnapshots) { case (oldRows, newRows) =>
+      val o = oldRows.toDF("id", "payload")
+      val n = newRows.toDF("id", "payload")
+      val diff = graft.operators.Cdc.snapshotDiff(o, n, "id", Seq("payload"))
+        .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(3))))
+      // patch semantics: delete removes, insert/update set the new payload
+      val patched = diff.foldLeft(oldRows.toMap) {
+        case (m, (id, "delete", _)) => m - id
+        case (m, (id, _, newPayload)) => m.updated(id, newPayload.get)
+      }
+      patched == newRows.toMap &&
+        // diff(a, a) is empty
+        graft.operators.Cdc.snapshotDiff(o, o, "id", Seq("payload")).count() == 0
+    }
+
+  private val genWav: Gen[(Int, Int, List[Short])] = for {
+    ch <- Gen.choose(1, 2)
+    rate <- Gen.oneOf(8000, 16000, 44100)
+    n <- Gen.choose(1, 12)
+    samples <- Gen.listOfN(n * ch, Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt)
+      .map(_.toShort))
+  } yield (ch, rate, samples)
+
+  property("WAV kernel round-trips arbitrary PCM16 payloads exactly") =
+    forAll(genWav) { case (ch, rate, samples) =>
+      import graft.operators.Multimodal
+      val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + samples.length * 2); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(1.toShort); bb.putShort(ch.toShort)
+      bb.putInt(rate); bb.putInt(rate * ch * 2)
+      bb.putShort((ch * 2).toShort); bb.putShort(16.toShort)
+      bb.put("data".getBytes); bb.putInt(samples.length * 2)
+      samples.foreach(bb.putShort)
+      val bytes = bb.array()
+      Multimodal.decodeWav(bytes) match {
+        case Some(w) =>
+          val expectedMean = samples.map(s => math.abs(s.toInt).toLong).sum
+            .toDouble / samples.length / 32768.0
+          w.channels == ch && w.sampleRate == rate &&
+            w.nSamples == samples.length / ch &&
+            math.abs(Multimodal.pcm16MeanAbs(bytes, w.dataStart, w.dataEnd) - expectedMean) < 1e-12 &&
+            Multimodal.decodeWav(bytes.dropRight(1)).isEmpty
+        case None => false
+      }
+    }
+
   property("as-of join picks the max right time <= left time (vs brute force)") =
     forAll(genAsof) { case (lefts, rights) =>
       val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
