@@ -309,6 +309,57 @@ object TextAnalysis {
       |  FROM tf JOIN df USING (term)) r
       |WHERE rank <= 3""".stripMargin))
 
+  /** q83 — training-shard assignment: pack documents (in doc_id order) into
+    * fixed token-budget shards via a DISTRIBUTED prefix sum — the two-level
+    * pattern that replaces the naive global-window running sum (a
+    * single-partition sort, the classic scale-killer): docs bucket by
+    * doc_id div 256; running sums are per-bucket windows (parallel across
+    * buckets), bucket offsets come from one tiny window over the
+    * bucket-total relation (|docs|/256 rows — driver-scale at any corpus
+    * size); cum = offset + within. A doc's shard is where its FIRST token
+    * lands, so every shard except the last holds ≥ budget tokens minus one
+    * doc's overhang. Pure integer arithmetic end to end. */
+  val q83TokenShards: Q = Q(
+    "q83_token_shards",
+    (s, dir) => {
+      val budget = 2000L
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), size(words(col("text"))).cast("long").as("tokens"))
+        .withColumn("bucket", expr("doc_id div 256"))
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket")).orderBy(col("doc_id"))
+      val withIn = toks.withColumn("within", sum(col("tokens")).over(wIn))
+      val wB = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      val offsets = toks.groupBy(col("bucket"))
+        .agg(sum(col("tokens")).as("btotal"))
+        .withColumn("boffset", coalesce(
+          sum(col("btotal")).over(wB.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bucket"), col("boffset"))
+      withIn.join(offsets, "bucket")
+        .select(col("doc_id"), col("tokens"),
+          (col("boffset") + col("within")).as("cum_tokens"),
+          expr(s"(boffset + within - tokens) div $budget").as("shard_id"))
+    },
+    Some("""WITH toks AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens,
+      |    doc_id // 256 AS bucket
+      |  FROM documents),
+      |within AS (
+      |  SELECT doc_id, tokens, bucket,
+      |    SUM(tokens) OVER (PARTITION BY bucket ORDER BY doc_id) AS within
+      |  FROM toks),
+      |offsets AS (
+      |  SELECT bucket,
+      |    COALESCE(SUM(SUM(tokens)) OVER (ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS boffset
+      |  FROM toks GROUP BY bucket)
+      |SELECT w.doc_id, w.tokens,
+      |  o.boffset + w.within AS cum_tokens,
+      |  (o.boffset + w.within - w.tokens) // 2000 AS shard_id
+      |FROM within w JOIN offsets o ON o.bucket = w.bucket""".stripMargin))
+
   /** q39 — winnowing fingerprints (the rolling-hash document-fingerprint
     * scheme): hash every 8-char k-gram, slide a 4-position window, keep each
     * window's minimum hash, distinct per doc. Codegen-friendly layout:
@@ -351,5 +402,6 @@ object TextAnalysis {
       |FROM fps GROUP BY doc_id""".stripMargin))
 
   val all: Seq[Q] = Seq(q20TextStats, q21TokenCount, q22LangId, q23Fingerprint,
-    q24Quality, q39Winnowing, q64RepetitionSignals, q71InvertedIndex, q73RareTerms)
+    q24Quality, q39Winnowing, q64RepetitionSignals, q71InvertedIndex, q73RareTerms,
+    q83TokenShards)
 }
