@@ -76,6 +76,12 @@ object Incremental {
         val spark = batch.sparkSession
         val hPath = new Path(statePath)
         val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // crash between stagedSwap's two renames strands the live state at
+        // path+".old" with path absent; roll it back before consulting the
+        // markers, or the replayed batch would merge against EMPTY state and
+        // silently drop every previously merged aggregate.
+        val oldPath = new Path(statePath + ".old")
+        if (!fs.exists(hPath) && fs.exists(oldPath)) { fs.rename(oldPath, hPath); () }
         // the high-water batch id travels INSIDE the state dir as an
         // underscore-prefixed file (invisible to the parquet reader), so
         // the rename swap publishes data + marker atomically — a replayed

@@ -348,12 +348,14 @@ object TextAnalysis {
       |  FROM documents),
       |within AS (
       |  SELECT doc_id, tokens, bucket,
-      |    SUM(tokens) OVER (PARTITION BY bucket ORDER BY doc_id) AS within
+      |    CAST(SUM(tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
+      |      AS BIGINT) AS within
       |  FROM toks),
       |offsets AS (
       |  SELECT bucket,
-      |    COALESCE(SUM(SUM(tokens)) OVER (ORDER BY bucket
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS boffset
+      |    CAST(COALESCE(SUM(SUM(tokens)) OVER (ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS boffset
       |  FROM toks GROUP BY bucket)
       |SELECT w.doc_id, w.tokens,
       |  o.boffset + w.within AS cum_tokens,

@@ -58,7 +58,12 @@ object StreamDedup {
             }
             seen.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.firstMs + ttlMs)
+              // a duplicate arriving in the same micro-batch in which the
+              // watermark passes this hash's expiry would otherwise set a
+              // timeout BEHIND the watermark — an IllegalArgumentException
+              // that kills the whole query. Clamp to just past the watermark.
+              state.setTimeoutTimestamp(
+                math.max(s.firstMs + ttlMs, state.getCurrentWatermarkMs + 1))
             }
             out.iterator
           }
@@ -72,8 +77,13 @@ object StreamDedup {
   def streamingVerdicts(spark: SparkSession, dir: String,
       ttlMinutes: Int = 60): Dataset[Verdict] = {
     import spark.implicits._
+    // the Tables convention resolves tables at $dir/<name>.parquet; the file
+    // stream source needs a directory, so stream the dir but glob-filter to
+    // the documents table only — without this every other table's files
+    // would be read through the documents schema as null-text garbage rows.
     spark.readStream
       .schema(graft.sources.Tables.schemas("documents"))
+      .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
       .select(col("doc_id"),
         (lit(1704067200L) + col("doc_id")).cast("timestamp").as("ts"),

@@ -76,6 +76,19 @@ class IncrementalSpec extends AnyFunSuite {
     val before = snap(Incremental.readState(spark.read.parquet(state), "event_type"))
     val q3 = start(); q3.processAllAvailable(); q3.stop() // no new data
     assert(snap(Incremental.readState(spark.read.parquet(state), "event_type")) == before)
+
+    // simulate a crash BETWEEN stagedSwap's two renames: live state stranded
+    // at state+".old", state itself absent. The next batch must roll the
+    // .old copy back instead of merging against empty state.
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(state),
+      new org.apache.hadoop.fs.Path(state + ".old"))
+    val b3 = full.limit(0) // empty delta: recovered state must equal `before`
+    b3.coalesce(1).write.mode("append").parquet(src)
+    val q4 = start(); q4.processAllAvailable(); q4.stop()
+    assert(snap(Incremental.readState(spark.read.parquet(state), "event_type")) == before,
+      "interrupted swap must recover the stranded .old state, not restart from empty")
   }
 
   test("approx_distinct from merged sketches tracks the exact distinct count") {

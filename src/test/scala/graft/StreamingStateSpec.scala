@@ -156,6 +156,25 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(got(7L) == (true, None), "expired state must not mark 7 as dup")
   }
 
+  test("streamingVerdicts reads the documents table by convention and emits one verdict per doc") {
+    import graft.streaming.StreamDedup
+    // resolves $dir/documents.parquet like every other (spark, dir) entry
+    // point — the full testdata dir must NOT stream other tables' files
+    val q = StreamDedup.streamingVerdicts(spark, TestSpark.sf0001)
+      .writeStream.format("memory").queryName("sverdicts_test")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val nDocs = docs.count()
+    val nDistinct = docs.select(md5(col("text"))).distinct().count()
+    val verdicts = spark.table("sverdicts_test")
+    assert(verdicts.count() == nDocs)                      // one verdict per doc
+    assert(verdicts.filter(col("keep")).count() == nDistinct)
+    // no null-text garbage rows from foreign tables
+    assert(verdicts.filter(col("content_hash").isNull).count() == 0)
+  }
+
   test("dropDuplicatesWithinWatermark dedupes replays across batches") {
     val dir = Files.createTempDirectory("graft-dedup").toFile.getAbsolutePath
     eventsDf(Seq(
