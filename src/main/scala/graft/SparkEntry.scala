@@ -15,6 +15,8 @@ object SparkEntry {
     streaming.Events.all ++
     operators.TextAnalysis.all ++
     operators.Dedup.all ++
+    operators.Ranking.all ++
+    operators.Curation.all ++
     operators.Graph.all ++
     operators.Cdc.all ++
     operators.Sketches.all ++

@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Q
 import graft.sources.Tables
 
 /** The capstone composition: run the curation verdicts (q67), keep the
@@ -50,4 +52,87 @@ object Curation {
       .write.mode("overwrite")
       .partitionBy("shard_id")
       .parquet(outPath)
+
+  /** q88 — deterministic eval carve-out: exactly k=2 held-out documents per
+    * (source, lang) stratum, chosen by md5-rank — retry-stable,
+    * partitioning-independent, and reproducible from the data alone (no
+    * RNG state to version). The standard "carve a fixed eval set before
+    * training" step; q50 is the rate-based cousin, this is the exact-k one.
+    * Scale: one window per stratum — the sort key is an 8-byte-prefix
+    * comparison on a 32-char hex string, and strata partition the corpus so
+    * the windows parallelize; a stratum too large for one partition would
+    * switch to the q50 rate shape instead. */
+  val q88EvalCarveout: Q = Q(
+    "q88_eval_carveout",
+    (s, dir) => {
+      val w = Window.partitionBy(col("source"), col("lang"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("split", when(col("rk") <= 2, "eval").otherwise("train"))
+    },
+    Some("""SELECT doc_id, source, lang, CAST(rk AS BIGINT) AS rk,
+      |  CASE WHEN rk <= 2 THEN 'eval' ELSE 'train' END AS split
+      |FROM (SELECT doc_id, source, lang,
+      |        ROW_NUMBER() OVER (PARTITION BY source, lang
+      |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |      FROM documents) t""".stripMargin))
+
+  /** q89 — domain-mixture resampling (temperature reweighting, τ = 0.5):
+    * per-source sampling rates ∝ √count / count flatten the domain
+    * distribution (the multilingual-corpus balancing trick), targeting a
+    * 200-doc corpus; each doc keeps or drops by a portable md5-uniform
+    * draw, so the sample is deterministic and the per-source totals are
+    * oracle-checked. Exactness: √ is IEEE-correctly-rounded (bitwise equal
+    * in both engines), but Σ√cnt over sources is order-sensitive in
+    * doubles — so the weights are quantized to BIGINT on the 2^-20 grid
+    * first (q62's technique), summed exactly, and divided once. The
+    * uniform draw is the first 48 bits of md5 compared against rate·2^48 —
+    * all exact double ops. Scale: rates are one domain-sized aggregate
+    * (broadcasts by definition), keep/drop is map-side. */
+  val q89DomainMixture: Q = Q(
+    "q89_domain_mixture",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+      val rates = docs.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+        .withColumn("w",
+          floor(sqrt(col("cnt").cast("double")) * lit(1048576.0) + lit(0.5)).cast("long"))
+        .withColumn("wsum", sum(col("w")).over(Window.partitionBy()))
+        .withColumn("rate", least(lit(1.0),
+          ((col("w").cast("double") / col("wsum").cast("double")) * lit(200.0))
+            / col("cnt").cast("double")))
+      docs.join(broadcast(rates), Seq("source"))
+        .withColumn("u48", conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit(":"), col("source")).cast("binary")),
+          1, 12), 16, 10).cast("long"))
+        .withColumn("kept",
+          col("u48").cast("double") < col("rate") * lit(281474976710656.0))
+        .groupBy(col("source"))
+        .agg(max(col("cnt")).as("cnt"), max(col("w")).as("w"),
+          max(col("rate")).as("rate"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"))
+    },
+    Some("""WITH counts AS (
+      |  SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+      |weighted AS (
+      |  SELECT source, cnt,
+      |    CAST(floor(sqrt(CAST(cnt AS DOUBLE)) * 1048576.0 + 0.5) AS BIGINT) AS w
+      |  FROM counts),
+      |rates AS (
+      |  SELECT source, cnt, w,
+      |    least(CAST(1.0 AS DOUBLE),
+      |      ((CAST(w AS DOUBLE) / CAST((CAST(SUM(w) OVER () AS BIGINT)) AS DOUBLE)) * 200.0)
+      |        / CAST(cnt AS DOUBLE)) AS rate
+      |  FROM weighted),
+      |drawn AS (
+      |  SELECT d.source, r.cnt, r.w, r.rate,
+      |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.source), 1, 12)) AS BIGINT) AS u48
+      |  FROM documents d JOIN rates r ON r.source = d.source)
+      |SELECT source, MAX(cnt) AS cnt, MAX(w) AS w, MAX(rate) AS rate,
+      |  CAST(SUM(CASE WHEN CAST(u48 AS DOUBLE) < rate * 281474976710656.0
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs
+      |FROM drawn GROUP BY source""".stripMargin))
+
+  val all: Seq[Q] = Seq(q88EvalCarveout, q89DomainMixture)
 }

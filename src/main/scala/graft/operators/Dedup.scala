@@ -848,7 +848,44 @@ object Dedup {
       |         ELSE NULL END AS drop_reason
       |  FROM verdict) v""".stripMargin))
 
+  /** q86 — duplicated-span fraction (the per-doc signal behind exact
+    * substring dedup, Lee et al. 2021's "Deduplicating Training Data"): for
+    * each document, the fraction of its distinct 3-gram spans that occur in
+    * at least one OTHER place in the corpus. q61's containment shape turned
+    * corpus-internal: same shared shingle relation, document frequencies
+    * instead of a benchmark probe set. Linear — one df aggregate on the
+    * span key, one per-doc aggregate, no pair enumeration; at 100 TB both
+    * shuffles are on already-hashed longs. A doc with df≥2 on most of its
+    * spans is a copy-heavy doc even when no single whole-doc duplicate
+    * exists — the case q30/q31 miss. */
+  val q86SpanDupes: Q = Q(
+    "q86_span_dupes",
+    (s, dir) => {
+      // df on the PORTABLE span identity (x60) — the oracle computes the
+      // same counts on the same key, so no cross-hash collision asymmetry.
+      val sh = shingled(s, dir)
+      val docFreq = sh.groupBy(col("x60")).agg(count(lit(1)).as("df"))
+      sh.join(docFreq, Seq("x60"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_spans"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+        .select(col("doc_id"), col("n_spans"), col("dup_spans"),
+          (col("dup_spans").cast("double") / col("n_spans")).as("dup_frac"),
+          (col("dup_spans").cast("double") / col("n_spans") >= 0.5).as("copy_heavy"))
+    },
+    Some(s"""WITH $shingleOracleCte,
+       |sdf AS (SELECT x60, COUNT(*) AS df FROM exm GROUP BY 1),
+       |per AS (
+       |  SELECT e.doc_id, COUNT(*) AS n_spans,
+       |    CAST(SUM(CASE WHEN sdf.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans
+       |  FROM exm e JOIN sdf USING (x60) GROUP BY 1)
+       |SELECT doc_id, n_spans, dup_spans,
+       |  CAST(dup_spans AS DOUBLE) / n_spans AS dup_frac,
+       |  CAST(dup_spans AS DOUBLE) / n_spans >= 0.5 AS copy_heavy
+       |FROM per""".stripMargin))
+
   val all: Seq[Q] = Seq(q30ExactDedup, q31NgramJaccard, q32MinHashLsh, q33SimHash,
     q34EmbeddingDups, q48DedupClusters, q60DedupSurvivors, q61Contamination,
-    q67CurationPipeline, q79SimHashScale)
+    q67CurationPipeline, q79SimHashScale, q86SpanDupes)
 }

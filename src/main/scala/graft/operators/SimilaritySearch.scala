@@ -622,6 +622,72 @@ object SimilaritySearch {
       |  sqrt(CAST(norm2_scaled AS DOUBLE)) / 1048576.0 AS l2_norm
       |FROM agg""".stripMargin))
 
+  /** q85 — SemDeDup (semantic dedup, Abbas et al. 2023 shape): assign every
+    * embedding to its nearest coarse centroid, then prune any vector whose
+    * cosine to a LOWER-id vector in the SAME cluster is ≥ τ (greedy
+    * keep-first — the survivor set is order-deterministic). Pair search is
+    * restricted to within-cluster, which is the whole point of the method:
+    * with k ∝ √N clusters the intra-cluster pair count stays near-linear
+    * while brute-force all-pairs (q34) is quadratic. k=4 literal centroids
+    * here (q62's init, shared verbatim with the oracle) keep the query fully
+    * hash-checkable; a real run first trains the centroids with
+    * `kmeansIterate` and re-runs this with the trained literals — the plan
+    * shape (map-side assign → cid-bucketed self-join → per-vec MAX) is
+    * unchanged. MAX over doubles is order-insensitive (no rounding), so the
+    * whole result is bitwise-portable. */
+  val q85SemDedup: Q = Q(
+    "q85_semdedup",
+    (s, dir) => {
+      val e = embWithNorm(s, dir)
+      val scores = kmeansInit.zipWithIndex.map { case (c, i) =>
+        val cc = c.map(v => v * v).sum
+        (lit(cc) - lit(2.0) * Similarity.dot(col("emb"), typedLit(c))).as(s"s$i")
+      }
+      val assigned = e.select((col("vec_id") +: col("emb") +: col("nrm") +: scores): _*)
+        .withColumn("cid", nearestCid(kmeansInit.length).cast("long"))
+        .select(col("vec_id"), col("cid"), col("emb"), col("nrm"))
+      val a = assigned.toDF("vec_a", "cid", "emb_a", "nrm_a")
+      val b = assigned.toDF("vec_b", "cid_b", "emb_b", "nrm_b")
+      val pairMax = a.join(b, col("cid") === col("cid_b") && col("vec_a") < col("vec_b"))
+        .withColumn("cosine", Similarity.cosinePre(
+          Similarity.dot(col("emb_a"), col("emb_b")), col("nrm_a"), col("nrm_b")))
+        .groupBy(col("vec_b"))
+        .agg(max(col("cosine")).as("max_cos_lower"))
+        .withColumnRenamed("vec_b", "vec_id")
+      assigned.select(col("vec_id"), col("cid"))
+        .join(pairMax, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"), col("max_cos_lower"),
+          coalesce(col("max_cos_lower") >= lit(0.3), lit(false)).as("pruned"))
+    },
+    Some {
+      val scoreDefs = kmeansInit.zipWithIndex.map { case (c, i) =>
+        val cc = c.map(v => v * v).sum
+        s"    $cc - 2.0 * list_dot_product(emb, ${arraySql(c)}) AS s$i"
+      }.mkString(",\n")
+      s"""WITH $embOracleCte,
+         |scored AS (
+         |  SELECT vec_id, emb, nrm,
+         |$scoreDefs
+         |  FROM e),
+         |assigned AS (
+         |  SELECT vec_id, emb, nrm,
+         |    CAST(CASE
+         |      WHEN s0 <= s1 AND s0 <= s2 AND s0 <= s3 THEN 0
+         |      WHEN s1 <= s2 AND s1 <= s3 THEN 1
+         |      WHEN s2 <= s3 THEN 2
+         |      ELSE 3 END AS BIGINT) AS cid
+         |  FROM scored),
+         |pm AS (
+         |  SELECT b.vec_id AS vec_id,
+         |    MAX(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)) AS max_cos_lower
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  GROUP BY b.vec_id)
+         |SELECT s.vec_id, s.cid, pm.max_cos_lower,
+         |  COALESCE(pm.max_cos_lower >= 0.3, FALSE) AS pruned
+         |FROM assigned s LEFT JOIN pm ON pm.vec_id = s.vec_id""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(q35BruteForceTopK, q36LshTopK, q37IvfTopK, q38LshPairs,
-    q62KmeansStep, q65PqAdc, q75VectorStats)
+    q62KmeansStep, q65PqAdc, q75VectorStats, q85SemDedup)
 }

@@ -403,7 +403,62 @@ object TextAnalysis {
       |SELECT doc_id, COUNT(*) AS fp_count, MIN(fp) AS min_fp, MAX(fp) AS max_fp
       |FROM fps GROUP BY doc_id""".stripMargin))
 
+  /** q87 — corpus vocabulary report (the Zipf/coverage summary a corpus
+    * card publishes): top-50 terms by frequency with corpus share and
+    * cumulative share, alongside total-token / vocabulary-size / hapax
+    * counts. Everything reduces to ONE term-count aggregate: the summary is
+    * a re-aggregation of the (term, cnt) relation (tiny — vocabulary-sized),
+    * the top-50 is a rank window over the same relation, and shares are
+    * single divisions of exact BIGINT sums, so the doubles are
+    * bitwise-portable. At 100 TB the token explode is map-side partial-agg
+    * (term-count relation ≪ corpus) and only vocabulary-sized relations
+    * ever reach a single partition. */
+  val q87VocabReport: Q = Q(
+    "q87_vocab_report",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tc = Tables(s, dir, "documents")
+        .select(explode(words(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val summary = tc.agg(
+        sum(col("cnt")).as("total_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax_terms"))
+      val ord = Window.orderBy(col("cnt").desc, col("term").asc)
+      tc.withColumn("rank", row_number().over(ord).cast("long"))
+        .withColumn("cum_cnt",
+          sum(col("cnt")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("rank") <= 50)
+        .crossJoin(broadcast(summary))
+        .select(col("rank"), col("term"), col("cnt"),
+          (col("cnt").cast("double") / col("total_tokens").cast("double")).as("share"),
+          (col("cum_cnt").cast("double") / col("total_tokens").cast("double")).as("cum_share"),
+          col("total_tokens"), col("vocab_size"), col("hapax_terms"))
+    },
+    Some(raw"""WITH tc AS (
+       |  SELECT term, COUNT(*) AS cnt
+       |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+       |        FROM documents) x
+       |  GROUP BY term),
+       |st AS (
+       |  SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+       |    COUNT(*) AS vocab_size,
+       |    CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_terms
+       |  FROM tc),
+       |ranked AS (
+       |  SELECT term, cnt,
+       |    ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS rank,
+       |    CAST(SUM(cnt) OVER (ORDER BY cnt DESC, term ASC
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
+       |  FROM tc)
+       |SELECT rank, term, cnt,
+       |  CAST(cnt AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS share,
+       |  CAST(cum_cnt AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS cum_share,
+       |  total_tokens, vocab_size, hapax_terms
+       |FROM ranked CROSS JOIN st
+       |WHERE rank <= 50""".stripMargin))
+
   val all: Seq[Q] = Seq(q20TextStats, q21TokenCount, q22LangId, q23Fingerprint,
     q24Quality, q39Winnowing, q64RepetitionSignals, q71InvertedIndex, q73RareTerms,
-    q83TokenShards)
+    q83TokenShards, q87VocabReport)
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Curation, Dedup, Ranking, SimilaritySearch, TextAnalysis}
+
+/** Invariants for the round-6 corpus operators (q84–q89). The DuckDB oracle
+  * pins exact values; these pin the semantic properties that survive any
+  * corpus (so regressions surface even where the oracle is re-derived). */
+class CorpusOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = TestSpark.sf0001
+
+  test("q84: rank is a contiguous permutation and zero-tf docs score zero") {
+    val out = Ranking.q84Bm25.run(spark, dir).cache()
+    val n = out.count()
+    assert(out.select(countDistinct(col("rank"))).as[Long].head() == n)
+    assert(out.agg(min(col("rank")), max(col("rank"))).as[(Long, Long)].head() == ((1L, n)))
+    val zeroTf = out.filter(col("tf_query") === 0 && col("tf_scan") === 0 &&
+      col("tf_vector") === 0)
+    assert(zeroTf.filter(col("bm25") =!= 0.0).count() == 0)
+    // saturated-tf is monotone: any doc holding a query term outranks (scores
+    // above) every doc holding none
+    val minWith = out.filter(col("tf_query") > 0).agg(min(col("bm25"))).as[Double].collect()
+    if (minWith.nonEmpty) assert(minWith.head > 0.0)
+    out.unpersist()
+  }
+
+  test("q85: exactly one unpruned seed per cluster chain and null-cos consistency") {
+    val out = SimilaritySearch.q85SemDedup.run(spark, dir).cache()
+    // the min vec_id of every cluster has no lower-id partner: null cos, unpruned
+    val mins = out.groupBy(col("cid")).agg(min(col("vec_id")).as("vmin"))
+    val minRows = out.join(mins, out("cid") === mins("cid") && col("vec_id") === col("vmin"))
+    assert(minRows.filter(col("max_cos_lower").isNotNull || col("pruned")).count() == 0)
+    // pruned ⟺ max_cos_lower ≥ 0.3
+    assert(out.filter(col("pruned") =!= (coalesce(col("max_cos_lower"), lit(-1.0)) >= 0.3))
+      .count() == 0)
+    out.unpersist()
+  }
+
+  test("q86: dup_frac bounded and consistent with span counts") {
+    val out = Dedup.q86SpanDupes.run(spark, dir).cache()
+    assert(out.filter(col("dup_spans") > col("n_spans") || col("dup_frac") < 0.0 ||
+      col("dup_frac") > 1.0).count() == 0)
+    assert(out.filter(col("copy_heavy") =!= (col("dup_frac") >= 0.5)).count() == 0)
+    out.unpersist()
+    Dedup.releaseCaches(spark)
+  }
+
+  test("q87: shares are normalized and cumulative share is monotone") {
+    val out = TextAnalysis.q87VocabReport.run(spark, dir).orderBy(col("rank")).cache()
+    val rows = out.select(col("rank"), col("share"), col("cum_share")).as[(Long, Double, Double)]
+      .collect()
+    assert(rows.map(_._1).toSeq == (1L to rows.length).toSeq)
+    assert(rows.forall { case (_, s, c) => s >= 0 && s <= 1 && c <= 1.0 + 1e-12 })
+    assert(rows.sliding(2).forall {
+      case Array((_, _, c1), (_, _, c2)) => c2 >= c1
+      case _ => true
+    })
+    // top-1 share equals cum_share at rank 1
+    assert(rows.head._2 == rows.head._3)
+    out.unpersist()
+  }
+
+  test("q88: every stratum carves exactly min(2, size) eval docs") {
+    val out = Curation.q88EvalCarveout.run(spark, dir).cache()
+    val bad = out.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("split") === "eval", 1L).otherwise(0L)).as("evals"))
+      .filter(col("evals") =!= least(lit(2L), col("n")))
+    assert(bad.count() == 0)
+    out.unpersist()
+  }
+
+  test("q89: rates in (0,1] and kept counts bounded by stratum size") {
+    val out = Curation.q89DomainMixture.run(spark, dir).cache()
+    assert(out.filter(col("rate") <= 0.0 || col("rate") > 1.0).count() == 0)
+    assert(out.filter(col("kept_docs") > col("cnt")).count() == 0)
+    out.unpersist()
+  }
+}
