@@ -134,5 +134,52 @@ object Curation {
       |       THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs
       |FROM drawn GROUP BY source""".stripMargin))
 
-  val all: Seq[Q] = Seq(q88EvalCarveout, q89DomainMixture)
+  /** q91 — per-source length-gate report: exact word-count quantiles
+    * (q69's rank-selection technique — no interpolation ambiguity) plus the
+    * pass rate of the standard [20, 80]-word length filter, per source
+    * domain. The "should this domain's length gate move" diagnostic a
+    * curation pipeline reviews before changing filters. One window shuffle
+    * on source + one aggregate; sorts stay per-group. */
+  val q91LengthGates: Q = Q(
+    "q91_length_gates",
+    (s, dir) => {
+      val wOrd = Window.partitionBy(col("source")).orderBy(col("wc").asc, col("doc_id").asc)
+      val wAll = Window.partitionBy(col("source"))
+      def target(p: Int) = expr(s"(cnt - 1) * $p div 100 + 1")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextAnalysis.words(col("text"))).cast("long").as("wc"))
+        .withColumn("rn", row_number().over(wOrd).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(wAll))
+        .groupBy(col("source"))
+        .agg(
+          max(col("cnt")).as("n_docs"),
+          min(when(col("rn") === target(25), col("wc"))).as("p25_words"),
+          min(when(col("rn") === target(50), col("wc"))).as("p50_words"),
+          min(when(col("rn") === target(75), col("wc"))).as("p75_words"),
+          sum(when(col("wc").between(20, 80), 1L).otherwise(0L)).as("pass_docs"))
+        .select(col("source"), col("n_docs"), col("p25_words"), col("p50_words"),
+          col("p75_words"), col("pass_docs"),
+          (col("pass_docs").cast("double") / col("n_docs").cast("double")).as("pass_rate"))
+    },
+    Some(raw"""WITH wcs AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS wc
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, wc,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY wc ASC, doc_id ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS cnt
+      |  FROM wcs)
+      |SELECT source,
+      |  CAST(MAX(cnt) AS BIGINT) AS n_docs,
+      |  MIN(CASE WHEN rn = (cnt - 1) * 25 // 100 + 1 THEN wc END) AS p25_words,
+      |  MIN(CASE WHEN rn = (cnt - 1) * 50 // 100 + 1 THEN wc END) AS p50_words,
+      |  MIN(CASE WHEN rn = (cnt - 1) * 75 // 100 + 1 THEN wc END) AS p75_words,
+      |  CAST(SUM(CASE WHEN wc BETWEEN 20 AND 80 THEN 1 ELSE 0 END) AS BIGINT) AS pass_docs,
+      |  CAST(CAST(SUM(CASE WHEN wc BETWEEN 20 AND 80 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+      |    / CAST(MAX(cnt) AS DOUBLE) AS pass_rate
+      |FROM r GROUP BY source""".stripMargin))
+
+  val all: Seq[Q] = Seq(q88EvalCarveout, q89DomainMixture, q91LengthGates)
 }

@@ -885,7 +885,38 @@ object Dedup {
        |  CAST(dup_spans AS DOUBLE) / n_spans >= 0.5 AS copy_heavy
        |FROM per""".stripMargin))
 
+  /** q92 — cross-source duplication matrix: near-dup pair counts (Jaccard
+    * ≥ 0.5, q48's edge set from the shared memo) rolled up by unordered
+    * source-domain pair — the "which domains copy from each other"
+    * provenance diagnostic that decides which source to drop when dedup
+    * keeps one copy. Two broadcast-sized joins (doc→source is corpus-sized:
+    * AQE picks shuffle vs broadcast) and one aggregate at domain-pair grain
+    * (≤ |domains|² rows — tiny at any corpus scale). */
+  val q92CrossSourceDups: Q = Q(
+    "q92_crosssource_dups",
+    (s, dir) => {
+      val src = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+      jaccardPairs(s, dir).filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+        .join(src.toDF("doc_a", "source_a"), "doc_a")
+        .join(src.toDF("doc_b", "source_b"), "doc_b")
+        .select(
+          least(col("source_a"), col("source_b")).as("src_lo"),
+          greatest(col("source_a"), col("source_b")).as("src_hi"))
+        .groupBy(col("src_lo"), col("src_hi"))
+        .agg(count(lit(1)).as("dup_pairs"))
+    },
+    Some(s"""WITH ${jaccardPairsOracle(0.5)},
+       |lab AS (
+       |  SELECT least(sa.source, sb.source) AS src_lo,
+       |         greatest(sa.source, sb.source) AS src_hi
+       |  FROM pairs
+       |  JOIN documents sa ON sa.doc_id = pairs.doc_a
+       |  JOIN documents sb ON sb.doc_id = pairs.doc_b)
+       |SELECT src_lo, src_hi, COUNT(*) AS dup_pairs
+       |FROM lab GROUP BY src_lo, src_hi""".stripMargin))
+
   val all: Seq[Q] = Seq(q30ExactDedup, q31NgramJaccard, q32MinHashLsh, q33SimHash,
     q34EmbeddingDups, q48DedupClusters, q60DedupSurvivors, q61Contamination,
-    q67CurationPipeline, q79SimHashScale, q86SpanDupes)
+    q67CurationPipeline, q79SimHashScale, q86SpanDupes, q92CrossSourceDups)
 }

@@ -362,6 +362,34 @@ object TextAnalysis {
       |  (o.boffset + w.within - w.tokens) // 2000 AS shard_id
       |FROM within w JOIN offsets o ON o.bucket = w.bucket""".stripMargin))
 
+  /** q90 — shard-packing efficiency report: per-shard document count, token
+    * total, and fill fraction against q83's fixed token budget — the metric
+    * a sequence-packing pipeline watches (underfilled shards waste
+    * accelerator steps; the only legitimately short shard is the last).
+    * Pure re-aggregation of q83's shard assignment: one extra shuffle at
+    * shard grain, which is corpus_tokens/budget rows — small by
+    * construction. */
+  val q90PackingReport: Q = Q(
+    "q90_packing_report",
+    (s, dir) => q83TokenShards.run(s, dir)
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .select(col("shard_id"), col("n_docs"), col("shard_tokens"),
+        col("first_doc"), col("last_doc"),
+        (col("shard_tokens").cast("double") / lit(2000.0)).as("fill_frac")),
+    Some(s"""WITH sharded AS (
+       |${q83TokenShards.oracle.get}
+       |)
+       |SELECT shard_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(tokens) AS BIGINT) AS shard_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+       |  CAST(CAST(SUM(tokens) AS BIGINT) AS DOUBLE) / 2000.0 AS fill_frac
+       |FROM sharded GROUP BY shard_id""".stripMargin))
+
   /** q39 — winnowing fingerprints (the rolling-hash document-fingerprint
     * scheme): hash every 8-char k-gram, slide a 4-position window, keep each
     * window's minimum hash, distinct per doc. Codegen-friendly layout:
@@ -460,5 +488,5 @@ object TextAnalysis {
 
   val all: Seq[Q] = Seq(q20TextStats, q21TokenCount, q22LangId, q23Fingerprint,
     q24Quality, q39Winnowing, q64RepetitionSignals, q71InvertedIndex, q73RareTerms,
-    q83TokenShards, q87VocabReport)
+    q83TokenShards, q87VocabReport, q90PackingReport)
 }

@@ -79,4 +79,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.filter(col("kept_docs") > col("cnt")).count() == 0)
     out.unpersist()
   }
+
+  test("q90: shard ids are contiguous and token mass is conserved") {
+    val out = TextAnalysis.q90PackingReport.run(spark, dir).cache()
+    val ids = out.select(col("shard_id")).as[Long].collect().sorted
+    assert(ids.toSeq == (0L to ids.max).toSeq)
+    val shardSum = out.agg(sum(col("shard_tokens"))).as[Long].head()
+    val direct = TextAnalysis.q83TokenShards.run(spark, dir)
+      .agg(sum(col("tokens"))).as[Long].head()
+    assert(shardSum == direct)
+    out.unpersist()
+  }
+
+  test("q91: quantiles are ordered and pass counts bounded") {
+    val out = Curation.q91LengthGates.run(spark, dir).cache()
+    assert(out.filter(col("p25_words") > col("p50_words") ||
+      col("p50_words") > col("p75_words")).count() == 0)
+    assert(out.filter(col("pass_docs") > col("n_docs")).count() == 0)
+    out.unpersist()
+  }
+
+  test("q92: source pairs are order-normalized and counts positive") {
+    val out = Dedup.q92CrossSourceDups.run(spark, dir).cache()
+    assert(out.filter(col("src_lo") > col("src_hi")).count() == 0)
+    assert(out.filter(col("dup_pairs") <= 0).count() == 0)
+    out.unpersist()
+    Dedup.releaseCaches(spark)
+  }
 }
