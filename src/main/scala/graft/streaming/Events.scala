@@ -253,9 +253,85 @@ object Events {
       |  COUNT(*) AS docs, COUNT(DISTINCT lang) AS langs
       |FROM documents GROUP BY 1""".stripMargin))
 
+  /** Shared click→purchase conversion join: purchases attributed to any
+    * click by the same user in the preceding 30 minutes. ONE definition
+    * runs both modes — the batch registry query (oracle-checked) and the
+    * watermarked stream-stream join below (spec-checked for parity), which
+    * is the point: Structured Streaming's interval join is the same
+    * declarative plan plus watermark-bounded state. Inputs must carry the
+    * (c_user, c_ts, c_id) / (p_user, p_ts, p_id) projections. */
+  def conversionJoin(clicks: DataFrame, purchases: DataFrame,
+      joinType: String = "inner"): DataFrame =
+    clicks.join(purchases,
+        expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"),
+        joinType)
+      .select(col("c_user").as("user_id"), col("c_id").as("click_id"),
+        col("p_id").as("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("delay_us"))
+
+  private def clickProj(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+  private def purchaseProj(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+
+  /** q93 — conversion interval join (batch form of the stream-stream join).
+    * Catalyst plans the equality on user as the shuffle key with the time
+    * range as a join residual — no theta/cartesian stage; at 100 TB both
+    * sides co-partition on user_id. The streaming form
+    * (`streamingConversions`) is the same `conversionJoin` with 1-hour
+    * watermarks on both sides: the interval bound lets the state store
+    * evict rows older than watermark − 30 min, so state is O(traffic in
+    * the join window), not O(stream). */
+  val q93ConversionJoin: Q = Q(
+    "q93_conversion_join",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      conversionJoin(clickProj(ev), purchaseProj(ev))
+    },
+    Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+      |FROM events c JOIN events p
+      |  ON p.user_id = c.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin))
+
+  /** q94 — LEFT OUTER form of q93: every click, converted or not, with
+    * NULL purchase columns on no-match. In streaming this is the
+    * watermark-DEPENDENT join: an unmatched click can only emit once the
+    * watermark proves no matching purchase can still arrive (state eviction
+    * at watermark − interval), which the spec pins with an
+    * advance-the-watermark batch; the batch form is the plain left join the
+    * oracle states. */
+  val q94ConversionOuter: Q = Q(
+    "q94_conversion_outer",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+      conversionJoin(clickProj(ev), purchaseProj(ev), "left_outer")
+    },
+    Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON p.user_id = c.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin))
+
+  /** True stream-stream interval join over a parquet-directory source of
+    * events-schema files (spec fixture path) — same `conversionJoin`
+    * definition as q93/q94 with watermarks bounding the join state. */
+  def streamingConversions(spark: SparkSession, dir: String,
+      joinType: String = "inner"): DataFrame = {
+    def src = spark.readStream.schema(Tables.schemas("events")).parquet(dir)
+    conversionJoin(
+      clickProj(src).withWatermark("c_ts", "1 hour"),
+      purchaseProj(src).withWatermark("p_ts", "1 hour"),
+      joinType)
+  }
+
   val all: Seq[Q] = Seq(q14Tumbling, q15Sessions, q16FirstTouch, q17JsonExtract,
     q18Sliding, q19Sketches, q49HllUnion, q50StratifiedSample, q51Histogram,
-    q52RegexParse)
+    q52RegexParse, q93ConversionJoin, q94ConversionOuter)
 
   /** True Structured Streaming path: parquet-directory source → watermarked
     * tumbling aggregation. Exercised by the streaming spec (file source +

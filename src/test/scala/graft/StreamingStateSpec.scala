@@ -57,24 +57,62 @@ class StreamingStateSpec extends AnyFunSuite {
       (4L, "2024-01-01 00:05:00", 11L, "purchase", 2.0, "{}")))  // other user, no click
       .coalesce(1).write.mode("append").parquet(dir)
 
-    def stream() = spark.readStream
-      .schema(graft.sources.Tables.schemas("events")).parquet(dir)
-    val clicks = stream().filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
-      .withWatermark("c_ts", "1 hour")
-    val purchases = stream().filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
-      .withWatermark("p_ts", "1 hour")
-    val joined = clicks.join(purchases,
-      expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 30 minutes"))
-
-    val q = joined.writeStream.format("memory").queryName("ssj_test")
+    val q = graft.streaming.Events.streamingConversions(spark, dir)
+      .writeStream.format("memory").queryName("ssj_test")
       .outputMode("append").start()
     q.processAllAvailable(); q.stop()
 
-    val pairs = spark.table("ssj_test").select("c_id", "p_id")
+    val pairs = spark.table("ssj_test").select("click_id", "purchase_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
+
+    // streaming output == the batch q93 join over the same files (the ONE
+    // conversionJoin definition runs in both modes)
+    val ev = spark.read.schema(graft.sources.Tables.schemas("events")).parquet(dir)
+    val batch = graft.streaming.Events.conversionJoin(
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id")),
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id")))
+      .select("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == batch)
+  }
+
+  test("left-outer stream join emits unmatched clicks only after the watermark closes them") {
+    val dir = Files.createTempDirectory("graft-ssj-outer").toFile.getAbsolutePath
+    eventsDf(Seq(
+      (1L, "2024-01-01 00:00:00", 10L, "click", 1.0, "{}"),
+      (2L, "2024-01-01 00:10:00", 10L, "purchase", 9.0, "{}"),  // converts click 1
+      (3L, "2024-01-01 00:05:00", 11L, "click", 2.0, "{}")))    // never converts
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val q = graft.streaming.Events.streamingConversions(spark, dir, "left_outer")
+      .writeStream.format("memory").queryName("ssj_outer_test")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // watermark hasn't passed click 3's join window: no null row may exist yet
+    val early = spark.table("ssj_outer_test").select("click_id").as[Long].collect().toSet
+    assert(!early.contains(3L))
+
+    // Far-future CLICK and PURCHASE rows advance both sides' watermarks
+    // (a view row would be filtered out before the watermark operator and
+    // advance nothing); different users so they join nothing. The new
+    // watermark takes effect in the NEXT batch, so a third write triggers
+    // the state-eviction batch that emits the null row.
+    eventsDf(Seq(
+      (9L, "2024-01-01 12:00:00", 98L, "click", 0.0, "{}"),
+      (10L, "2024-01-01 12:00:00", 99L, "purchase", 0.0, "{}")))
+      .coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    eventsDf(Seq((11L, "2024-01-01 12:01:00", 97L, "click", 0.0, "{}")))
+      .coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("ssj_outer_test")
+      .select(col("click_id"), col("purchase_id"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(rows == Set((1L, 2L), (3L, -1L))) // unmatched click emitted with NULLs
   }
 
   test("checkpointed parquet sink recovers exactly-once across query restarts") {
