@@ -39,6 +39,48 @@ class ScaleLayoutSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("runtime bloom-filter injection prunes the fact scan for selective dim joins") {
+    // Spark's InjectRuntimeFilter: when a shuffle join's build side is small
+    // and selective, a bloom filter of its join keys is computed at runtime
+    // and pushed into the probe side's scan — the 100 TB "semi-join
+    // reduction" that skips fact rows (and with parquet row-group stats,
+    // whole row groups) whose key can't match. Thresholds are lowered so
+    // the pattern triggers at fixture scale; the assertion is on the
+    // optimized plan's might_contain marker.
+    val dir = Files.createTempDirectory("graft-bloom").toFile.getAbsolutePath
+    Tables(spark, TestSpark.sf0001, "lineitem").write.parquet(s"$dir/li")
+    Tables(spark, TestSpark.sf0001, "orders").write.parquet(s"$dir/ord")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevApp = spark.conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val li = spark.read.parquet(s"$dir/li")
+      val ord = spark.read.parquet(s"$dir/ord")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"expected a runtime bloom filter on the fact side, got:\n$optimized")
+      // and the filtered result is still exactly the plain join
+      val expected = li.join(
+        spark.read.parquet(s"$dir/ord").filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      prevApp match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", v)
+        case None => spark.conf.unset(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      }
+    }
+  }
+
   test("date-partitioned writes prune partitions on range predicates") {
     val path = Files.createTempDirectory("graft-datepart").toString + "/events"
     ScaleLayout.writeDatePartitioned(Tables(spark, TestSpark.sf0001, "events"), path, "ts")
