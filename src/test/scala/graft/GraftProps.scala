@@ -243,4 +243,33 @@ object GraftProps extends Properties("graft") {
         got(id) == expected
       }
     }
+
+  // (event_id, user, minute) click and purchase lists — ids disjoint by
+  // construction so pair identity is unambiguous
+  private val genConversions: Gen[(List[(Long, Long, Int)], List[(Long, Long, Int)])] =
+    for {
+      clicks <- Gen.listOf(for {
+        id <- Gen.choose(1L, 50L); u <- Gen.choose(1L, 4L); m <- Gen.choose(0, 120)
+      } yield (id, u, m)).map(_.distinctBy(_._1).take(15))
+      purchases <- Gen.listOf(for {
+        id <- Gen.choose(100L, 150L); u <- Gen.choose(1L, 4L); m <- Gen.choose(0, 120)
+      } yield (id, u, m)).map(_.distinctBy(_._1).take(15))
+    } yield (clicks, purchases)
+
+  property("conversion interval join matches the brute-force scan") =
+    forAll(genConversions) { case (clicks, purchases) =>
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      def t(m: Int) = new java.sql.Timestamp(base + m * 60000L)
+      val c = clicks.map { case (id, u, m) => (u, t(m), id) }.toDF("c_user", "c_ts", "c_id")
+      val p = purchases.map { case (id, u, m) => (u, t(m), id) }.toDF("p_user", "p_ts", "p_id")
+      val got = graft.streaming.Events.conversionJoin(c, p)
+        .select("click_id", "purchase_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (cid, cu, cm) <- clicks
+        (pid, pu, pm) <- purchases
+        if pu == cu && pm >= cm && pm <= cm + 30
+      } yield (cid, pid)).toSet
+      got == want
+    }
 }
