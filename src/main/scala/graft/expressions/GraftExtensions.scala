@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotEntry)
     ext.injectFunction(GraftExtensions.cosineEntry)
+    ext.injectFunction(GraftExtensions.heavyHittersEntry)
     // HOF dot-product pattern → native codegen expression (bit-exact)
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofVectorOps)
     // physical planning for the custom TopKPerGroup logical operator
@@ -35,11 +36,18 @@ object GraftExtensions {
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two double arrays"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1)))
 
+  val heavyHittersEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_heavy_hitters"),
+      info("graft_heavy_hitters",
+        "graft_heavy_hitters(col, k) - Misra-Gries top-term summary with at most k counters"),
+      (args: Seq[Expression]) => HeavyHitters(args(0),
+        args(1).eval(null).asInstanceOf[Number].intValue()).toAggregateExpression())
+
   /** Runtime registration for sessions created without the extension hook
     * (idempotent — used by the query builders). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(dotEntry, cosineEntry).foreach { case (id, inf, builder) =>
+    Seq(dotEntry, cosineEntry, heavyHittersEntry).foreach { case (id, inf, builder) =>
       reg.registerFunction(id, inf, builder)
     }
   }

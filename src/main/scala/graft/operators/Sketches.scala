@@ -155,5 +155,47 @@ object Sketches {
         .replace("${PB}", bitsRows("c_custkey", "customer"))
     })
 
-  val all: Seq[Q] = Seq(q80CountMin, q81BloomFilter)
+  /** q95 — heavy hitters via the custom Misra-Gries
+    * `TypedImperativeAggregate` (`expressions.HeavyHitters`) — the custom-
+    * AGGREGATE rung of the Catalyst ladder, and the constant-memory way to
+    * find frequent terms at 100 TB: k counters per partition, partial
+    * summaries merged associatively, no term-grain shuffle of the corpus.
+    * Counter VALUES depend on merge order, so the query asserts only the
+    * sketch's deterministic guarantees (q19's error-flag technique): every
+    * term with count > N/(k+1) must be present, and its estimate must lie
+    * in [count − N/(k+1), count] — both checked in exact integer
+    * arithmetic. k=32 exceeds this corpus's vocabulary, so estimates are
+    * exact here; `SketchesSpec` stresses vocab ≫ k with skewed data. */
+  val q95HeavyHitters: Q = Q(
+    "q95_heavy_hitters",
+    (s, dir) => {
+      import org.apache.spark.sql.graftbridge.Bridge
+      val k = 32
+      val terms = Tables(s, dir, "documents")
+        .select(explode(TextAnalysis.words(col("text"))).as("term"))
+      val hh = terms
+        .agg(Bridge.column(graft.expressions.HeavyHitters(
+          Bridge.expression(col("term")), k).toAggregateExpression()).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.term").as("term"), col("e.est").as("est"))
+      val exact = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val n = exact.agg(sum(col("cnt")).as("n"))
+      exact.crossJoin(broadcast(n))
+        .filter(col("cnt") * (k + 1) > col("n"))
+        .join(hh, Seq("term"), "left")
+        .select(col("term"), col("cnt"),
+          col("est").isNotNull.as("hh_present"),
+          (col("est").isNotNull && col("est") <= col("cnt") &&
+            col("est") * (k + 1) >= col("cnt") * (k + 1) - col("n"))
+            .as("est_in_bound"))
+    },
+    Some(raw"""WITH tc AS (
+       |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+       |  FROM documents),
+       |c AS (SELECT term, COUNT(*) AS cnt FROM tc GROUP BY term),
+       |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c)
+       |SELECT term, cnt, TRUE AS hh_present, TRUE AS est_in_bound
+       |FROM c CROSS JOIN n WHERE cnt * 33 > n""".stripMargin))
+
+  val all: Seq[Q] = Seq(q80CountMin, q81BloomFilter, q95HeavyHitters)
 }
