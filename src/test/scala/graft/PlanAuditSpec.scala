@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry-wide physical-plan audit: no query may contain a cartesian or
+  * nested-loop join stage unless it is on the DELIBERATE list (documented
+  * all-pairs ground truths and tiny-literal broadcast probes). This is the
+  * scale guard: a refactor that silently turns an equi-join into a
+  * non-equi join (dropping the hash-joinable key) fails here, not at
+  * 100 TB.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  /** Queries whose nested-loop stage is the documented point of the plan:
+    * all-pairs oracle ground truths (q34), corpus×broadcast(tiny) probes
+    * (q35 brute-force baseline, q37's 8×10 centroid probe, q65's ADC
+    * codebook, q84's one-row stats relation, q19/q49/q51-style 1-row
+    * summary cross joins). */
+  private val deliberate: Set[String] = Set(
+    "q34_dedup_embedding",   // all-pairs cosine ground truth (scale path: q36/q38)
+    "q35_ann_bruteforce",    // corpus × broadcast(8 queries) exact baseline
+    "q37_ann_ivf",           // 8×10 coarse-quantizer probe, IdentityBroadcast
+    "q65_ann_pq_adc",        // per-query distance-table probe vs codebook
+    "q84_bm25",              // one-row corpus-stats broadcast
+    "q87_vocab_report",      // one-row summary broadcast
+    "q89_domain_mixture",    // 20-row rate table cross onto per-source agg
+    "q95_heavy_hitters",     // one-row N total broadcast
+    "q19_events_sketches",   // one-row exact-totals cross for error flags
+    "q49_hll_union",         // one-row overall-union cross
+    "q61_contamination",     // broadcast benchmark-shingle probe set
+    "q45_profile",           // one-row table-totals cross
+    "q53_exact_stats",       // one-row power-sums cross
+    "q69_exact_quantiles",   // one-row count cross for rank targets
+    "q55_fuzzy_match",       // corpus × broadcast(20 probes), non-equi by nature (levenshtein)
+    "q68_pagerank_step")     // 1-row n_nodes broadcast cross (teleport term)
+
+  test("no unplanned cartesian/nested-loop stage anywhere in the 95-query registry") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
+      val nested = plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin")
+      if (nested && !deliberate(name)) Some(name) else None
+    }
+    graft.operators.Dedup.releaseCaches(spark)
+    assert(offenders.isEmpty,
+      s"nested-loop/cartesian stages outside the deliberate list: $offenders")
+  }
+}
