@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotEntry)
     ext.injectFunction(GraftExtensions.cosineEntry)
     ext.injectFunction(GraftExtensions.heavyHittersEntry)
+    ext.injectFunction(GraftExtensions.normalizeEntry)
     // HOF dot-product pattern → native codegen expression (bit-exact)
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofVectorOps)
     // physical planning for the custom TopKPerGroup logical operator
@@ -43,11 +44,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => HeavyHitters(args(0),
         args(1).eval(null).asInstanceOf[Number].intValue()).toAggregateExpression())
 
+  val normalizeEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_normalize"),
+      info("graft_normalize",
+        "graft_normalize(s, 'nfc'|'nfkc'|'strip') - Unicode normalization / accent stripping"),
+      (args: Seq[Expression]) => NormalizeText(args(0),
+        NormalizeText.modeOf(args(1).eval(null).toString)))
+
   /** Runtime registration for sessions created without the extension hook
     * (idempotent — used by the query builders). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(dotEntry, cosineEntry, heavyHittersEntry).foreach { case (id, inf, builder) =>
+    Seq(dotEntry, cosineEntry, heavyHittersEntry, normalizeEntry).foreach { case (id, inf, builder) =>
       reg.registerFunction(id, inf, builder)
     }
   }

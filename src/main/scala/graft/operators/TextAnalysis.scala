@@ -2,7 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 import graft.Q
+import graft.expressions.NormalizeText
 import graft.sources.Tables
 
 /** Text-analysis operators over the `documents` table (BASELINE.json north
@@ -486,7 +488,188 @@ object TextAnalysis {
        |FROM ranked CROSS JOIN st
        |WHERE rank <= 50""".stripMargin))
 
+  /** 60-bit md5 surrogate (same construction as q78's checksum): small
+    * enough that BIT_XOR never overflows, wide enough that a corpus-level
+    * XOR collision is ~2⁻⁶⁰. */
+  private def md5_60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** PII detection patterns — deliberately restricted to constructs with
+    * identical semantics in Java regex (Spark) and RE2 (DuckDB oracle):
+    * character classes, bounded repetition, ASCII `\b`. No backrefs or
+    * lookaround (RE2 has neither). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PanRe = "\\d{13,19}"
+
+  /** q96 — PII detection + redaction, the compliance pass a training-data
+    * pipeline runs before anything leaves the raw zone. The synthetic
+    * corpus carries no PII, so the query first plants emails / IPv4s /
+    * card-length digit runs deterministically (doc_id residues — identical
+    * arithmetic in the oracle), then counts hits per class and redacts
+    * email → IP → number (longest-structure first, so a class never eats
+    * another's placeholder). Per-source report: hit counts + a 60-bit XOR
+    * checksum of the redacted corpus proving byte-equality with the oracle's
+    * redaction. Row-local regex work over a single scan — linear at 100 TB,
+    * no shuffle until the tiny per-source rollup. */
+  val q96PiiRedaction: Q = Q(
+    "q96_pii_redaction",
+    (s, dir) => {
+      val planted = Tables(s, dir, "documents").withColumn("t", concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0, concat(
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, concat(
+          lit(" from 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") % 97).cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit(" card 4111111111111111 on file")).otherwise(lit(""))))
+      planted.select(col("source"),
+          size(regexp_extract_all(col("t"), lit(EmailRe), lit(0)))
+            .cast("long").as("e"),
+          size(regexp_extract_all(col("t"), lit(Ipv4Re), lit(0)))
+            .cast("long").as("i"),
+          size(regexp_extract_all(col("t"), lit(PanRe), lit(0)))
+            .cast("long").as("c"),
+          md5_60(regexp_replace(regexp_replace(regexp_replace(col("t"),
+            EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PanRe, "<NUM>")).as("h"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(when(col("e") + col("i") + col("c") > 0, 1L).otherwise(0L))
+            .as("docs_with_pii"),
+          sum(col("e")).as("email_hits"),
+          sum(col("i")).as("ip_hits"),
+          sum(col("c")).as("card_hits"),
+          expr("bit_xor(h)").as("redacted_checksum"))
+    },
+    Some("""WITH planted AS (
+      |  SELECT source, text
+      |    || CASE WHEN doc_id % 7 = 0
+      |         THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+      |    || CASE WHEN doc_id % 11 = 0
+      |         THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 97) ELSE '' END
+      |    || CASE WHEN doc_id % 13 = 0
+      |         THEN ' card 4111111111111111 on file' ELSE '' END AS t
+      |  FROM documents
+      |), hits AS (
+      |  SELECT source,
+      |    len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+      |    len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS i,
+      |    len(regexp_extract_all(t, '\d{13,19}')) AS c,
+      |    ('0x' || substr(md5(regexp_replace(regexp_replace(regexp_replace(t,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |      '\d{13,19}', '<NUM>', 'g')), 1, 15))::BIGINT AS h
+      |  FROM planted
+      |)
+      |SELECT source, COUNT(*) AS docs,
+      |  CAST(SUM(CASE WHEN e + i + c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+      |  CAST(SUM(e) AS BIGINT) AS email_hits,
+      |  CAST(SUM(i) AS BIGINT) AS ip_hits,
+      |  CAST(SUM(c) AS BIGINT) AS card_hits,
+      |  BIT_XOR(h) AS redacted_checksum
+      |FROM hits GROUP BY source""".stripMargin))
+
+  /** Column wrapper for the native normalization expression. */
+  def normalizeText(c: Column, mode: String): Column =
+    Bridge.column(NormalizeText(Bridge.expression(c), NormalizeText.modeOf(mode)))
+
+  /** q97 — Unicode normalization via the native `graft_normalize`
+    * expression (expressions/NormalizeText.scala). The ASCII corpus is
+    * first pushed out of normal form by replacing every 'a' with
+    * "a"+U+0301 (combining acute) — the decomposed spelling of 'á' — then:
+    * NFC must recompose each pair to one precomposed code point (char
+    * count shrinks, byte count shrinks from 3 to 2 per site), and accent
+    * stripping must return the exact original bytes (roundtrip_docs ==
+    * docs). Checksums XOR a 60-bit md5 so the oracle (DuckDB
+    * nfc_normalize / strip_accents, i.e. utf8proc) proves byte-level
+    * agreement with java.text.Normalizer — the two independent UAX #15
+    * implementations must emit identical corpora. Pure row-local map work;
+    * the only shuffle is the 20-group rollup. */
+  val q97NormalizeUnicode: Q = Q(
+    "q97_normalize_unicode",
+    (s, dir) => Tables(s, dir, "documents")
+      .withColumn("acc", regexp_replace(col("text"), "a", "a\u0301"))
+      .select(col("source"), col("text"),
+        col("acc"),
+        normalizeText(col("acc"), "nfc").as("nfc"),
+        normalizeText(col("acc"), "strip").as("stripped"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(length(col("acc"))).as("injected_chars"),
+        sum(octet_length(col("acc"))).as("injected_bytes"),
+        sum(length(col("nfc"))).as("nfc_chars"),
+        sum(octet_length(col("nfc"))).as("nfc_bytes"),
+        expr("bit_xor(cast(conv(substring(md5(cast(nfc as binary)), 1, 15), 16, 10) as bigint))")
+          .as("nfc_checksum"),
+        expr("bit_xor(cast(conv(substring(md5(cast(stripped as binary)), 1, 15), 16, 10) as bigint))")
+          .as("stripped_checksum"),
+        sum(when(col("stripped") === col("text"), 1L).otherwise(0L))
+          .as("roundtrip_docs")),
+    Some("""WITH injected AS (
+      |  SELECT source, text, replace(text, 'a', 'a' || chr(769)) AS acc
+      |  FROM documents
+      |)
+      |SELECT source, COUNT(*) AS docs,
+      |  CAST(SUM(length(acc)) AS BIGINT) AS injected_chars,
+      |  CAST(SUM(strlen(acc)) AS BIGINT) AS injected_bytes,
+      |  CAST(SUM(length(nfc_normalize(acc))) AS BIGINT) AS nfc_chars,
+      |  CAST(SUM(strlen(nfc_normalize(acc))) AS BIGINT) AS nfc_bytes,
+      |  BIT_XOR(('0x' || substr(md5(nfc_normalize(acc)), 1, 15))::BIGINT) AS nfc_checksum,
+      |  BIT_XOR(('0x' || substr(md5(strip_accents(acc)), 1, 15))::BIGINT) AS stripped_checksum,
+      |  CAST(SUM(CASE WHEN strip_accents(acc) = text THEN 1 ELSE 0 END) AS BIGINT) AS roundtrip_docs
+      |FROM injected GROUP BY source""".stripMargin))
+
+  /** q98 — one BPE vocabulary-induction superstep: count within-word
+    * adjacent character pairs weighted by word frequency and emit the top
+    * 20 merge candidates with a pinned (count DESC, pair ASC) tiebreak —
+    * the argmax a tokenizer trainer folds into its merge table each
+    * round (Sennrich et al. 2016, the BPE tokenizers every LLM corpus is
+    * tokenized with). Same superstep shape as q62/q68: the driver loop
+    * re-runs it after applying a merge. Scale shape: word-level
+    * pre-aggregation FIRST (the Zipf head collapses — 'the' contributes
+    * one row, not millions), then pair explode over the ~vocab-sized
+    * survivor set, then a TakeOrderedAndProject top-20 — no
+    * single-partition window over the corpus. */
+  val q98BpeMergeStep: Q = Q(
+    "q98_bpe_merge_step",
+    (s, dir) => {
+      val wc = Tables(s, dir, "documents")
+        .select(explode(words(col("text"))).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      val top = wc
+        .select(col("freq"), col("word"),
+          explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+        .select(col("word").substr(col("i"), lit(2)).as("pair"), col("freq"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("merge_count"))
+        .orderBy(col("merge_count").desc, col("pair").asc)
+        .limit(20)
+      top.withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("merge_count").desc, col("pair").asc)).cast("int"))
+        .select(col("rank"), col("pair"), col("merge_count"))
+    },
+    Some("""WITH w AS (
+      |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents
+      |), wc AS (
+      |  SELECT word, COUNT(*) AS freq FROM w WHERE length(word) >= 2 GROUP BY word
+      |), pairs AS (
+      |  SELECT substr(wc.word, CAST(i.i AS INTEGER), 2) AS pair, wc.freq
+      |  FROM wc, LATERAL (SELECT unnest(generate_series(1, length(wc.word) - 1)) AS i) i
+      |), ranked AS (
+      |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS merge_count,
+      |    ROW_NUMBER() OVER (ORDER BY SUM(freq) DESC, pair ASC) AS rank
+      |  FROM pairs GROUP BY pair
+      |)
+      |SELECT CAST(rank AS INT) AS rank, pair, merge_count
+      |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin))
+
   val all: Seq[Q] = Seq(q20TextStats, q21TokenCount, q22LangId, q23Fingerprint,
     q24Quality, q39Winnowing, q64RepetitionSignals, q71InvertedIndex, q73RareTerms,
-    q83TokenShards, q87VocabReport, q90PackingReport)
+    q83TokenShards, q87VocabReport, q90PackingReport,
+    q96PiiRedaction, q97NormalizeUnicode, q98BpeMergeStep)
 }
