@@ -19,6 +19,7 @@ object SparkEntry {
     operators.Curation.all ++
     operators.Graph.all ++
     operators.Cdc.all ++
+    operators.Learn.all ++
     operators.Sketches.all ++
     operators.SimilaritySearch.all ++
     operators.Multimodal.all

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.Tables
+
+/** Distributed model-training supersteps over the documents corpus — the
+  * "learn a quality/language classifier from corpus signals" stage of a
+  * training-data pipeline (the reference's analytics stack stops at
+  * descriptive marts; this is the extension surface's supervised rung,
+  * joining the iterative family: q62 k-means, q68 PageRank, q98 BPE).
+  *
+  * Determinism rules (the reason these hash-match a DuckDB oracle): every
+  * per-row feature is an exact BIGINT; sums of BIGINTs are order-independent;
+  * doubles appear only in FINAL per-row expressions whose operands are
+  * integers < 2⁵³ (exact conversions) combined with the same literal
+  * structure on both engines — identical IEEE ops, identical bytes.
+  */
+object Learn {
+
+  /** Integer weight numerators, denominator 1000 (so w·x lives in BIGINTs):
+    * bias, word_count, char_len, stopword_count. */
+  val W: Seq[(String, Long)] = Seq(
+    "bias" -> -2000L, "word_count" -> 30L, "char_len" -> -5L, "stop_count" -> 400L)
+
+  /** q99 — one batch perceptron update: classify lang='en' (+1) vs rest
+    * (-1) from three exact integer features + bias, find the misclassified
+    * set under the fixed scaled-integer weights, and emit per-feature
+    * gradient and updated weight (η = 10⁻³ on the 10⁻³-scaled weights →
+    * one division by 10⁶ at the very end). The whole step is one scan +
+    * one 4-counter global aggregate — a training iteration at 100 TB costs
+    * exactly one pass, the textbook map-side-combine shape (the driver
+    * loop feeds w_new back in, same protocol as q62/q68). */
+  val q99PerceptronStep: Q = Q(
+    "q99_perceptron_step",
+    (s, dir) => {
+      val stopArr = array(TextAnalysis.stopwords.map(lit): _*)
+      val feats = Tables(s, dir, "documents")
+        .withColumn("w", TextAnalysis.words(col("text")))
+        .select(
+          when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+          size(col("w")).cast("long").as("wc"),
+          length(col("text")).cast("long").as("cl"),
+          size(filter(col("w"), x => array_contains(stopArr, x)))
+            .cast("long").as("sc"))
+        .withColumn("m",
+          lit(W(0)._2) + lit(W(1)._2) * col("wc") +
+          lit(W(2)._2) * col("cl") + lit(W(3)._2) * col("sc"))
+        .withColumn("mis", col("y") * col("m") <= 0)
+      val g = feats.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("mis"), 1L).otherwise(0L)).as("n_mis"),
+        sum(when(col("mis"), col("y")).otherwise(0L)).as("g0"),
+        sum(when(col("mis"), col("y") * col("wc")).otherwise(0L)).as("g1"),
+        sum(when(col("mis"), col("y") * col("cl")).otherwise(0L)).as("g2"),
+        sum(when(col("mis"), col("y") * col("sc")).otherwise(0L)).as("g3"))
+      g.select(col("n_docs"), col("n_mis"), explode(array(
+          W.zipWithIndex.map { case ((name, wi), i) =>
+            struct(lit(name).as("feature"), lit(wi).as("w_int"),
+              col(s"g$i").as("grad"))
+          }: _*)).as("f"))
+        .select(
+          col("f.feature").as("feature"),
+          col("n_docs"), col("n_mis"),
+          (col("f.w_int").cast("double") / lit(1000.0)).as("w_old"),
+          col("f.grad").as("grad"),
+          ((col("f.w_int") * lit(1000L) + col("f.grad")).cast("double")
+            / lit(1000000.0)).as("w_new"))
+    },
+    Some {
+      val featSql =
+        """SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+          |    CAST(len(w) AS BIGINT) AS wc,
+          |    CAST(length(text) AS BIGINT) AS cl,
+          |    CAST(len(list_filter(w, x -> list_contains(['the','a','of','and'], x))) AS BIGINT) AS sc
+          |  FROM (SELECT lang, text, regexp_split_to_array(trim(text), '\s+') AS w
+          |        FROM documents) raw""".stripMargin
+      val rows = W.zipWithIndex.map { case ((name, wi), i) =>
+        s"""SELECT '$name' AS feature, n_docs, n_mis,
+           |  CAST($wi AS DOUBLE) / 1000.0 AS w_old, g$i AS grad,
+           |  CAST($wi * 1000 + g$i AS DOUBLE) / 1000000.0 AS w_new FROM g""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH f AS (
+         |  SELECT y, wc, cl, sc,
+         |    ${W(0)._2} + ${W(1)._2} * wc + ${W(2)._2} * cl + ${W(3)._2} * sc AS m
+         |  FROM ($featSql) feat
+         |), g AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CASE WHEN y * m <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mis,
+         |    CAST(SUM(CASE WHEN y * m <= 0 THEN y ELSE 0 END) AS BIGINT) AS g0,
+         |    CAST(SUM(CASE WHEN y * m <= 0 THEN y * wc ELSE 0 END) AS BIGINT) AS g1,
+         |    CAST(SUM(CASE WHEN y * m <= 0 THEN y * cl ELSE 0 END) AS BIGINT) AS g2,
+         |    CAST(SUM(CASE WHEN y * m <= 0 THEN y * sc ELSE 0 END) AS BIGINT) AS g3
+         |  FROM f)
+         |$rows""".stripMargin
+    })
+
+  /** q100 — χ² term–class association (feature selection for corpus
+    * classifiers: which vocabulary terms most separate lang='en' documents
+    * from the rest — the scoring behind fastText-style keyword filters).
+    * Presence-based 2×2 contingency per term: a/b = en/other docs
+    * containing it, c/d = the complements. All contingency arithmetic is
+    * exact BIGINT; χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) converts the
+    * (< 2⁵³) integers to doubles in one fixed expression shape. Terms in
+    * < 5 or = N documents are excluded (degenerate margins). Scale shape:
+    * distinct-(doc,term) explode → one term-keyed count aggregate → tiny
+    * broadcast cross with the one-row class totals → top-30
+    * TakeOrderedAndProject. */
+  val q100Chi2Terms: Q = Q(
+    "q100_chi2_terms",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("en"),
+          explode(array_distinct(TextAnalysis.words(col("text")))).as("term"))
+      val totals = Tables(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      val counts = docs.groupBy(col("term")).agg(
+        sum(col("en")).as("a"),
+        sum(lit(1L) - col("en")).as("b"))
+      val c2 = counts.crossJoin(broadcast(totals))
+        .filter(col("a") + col("b") >= 5 && col("a") + col("b") < col("n_docs"))
+        .withColumn("c", col("n_en") - col("a"))
+        .withColumn("d", col("n_docs") - col("n_en") - col("b"))
+        .withColumn("adbc", col("a") * col("d") - col("b") * col("c"))
+        .withColumn("chi2",
+          col("n_docs").cast("double") * col("adbc").cast("double")
+            * col("adbc").cast("double")
+            / ((col("a") + col("b")).cast("double")
+              * (col("c") + col("d")).cast("double")
+              * (col("a") + col("c")).cast("double")
+              * (col("b") + col("d")).cast("double")))
+      c2.select(col("term"), col("a"), col("b"), col("c"), col("d"), col("chi2"))
+        .orderBy(col("chi2").desc, col("term").asc)
+        .limit(30)
+    },
+    Some("""WITH pres AS (
+      |  SELECT DISTINCT doc_id,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en,
+      |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents
+      |), tot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+      |  FROM documents
+      |), counts AS (
+      |  SELECT term, CAST(SUM(en) AS BIGINT) AS a,
+      |    CAST(SUM(1 - en) AS BIGINT) AS b
+      |  FROM pres GROUP BY term
+      |), c2 AS (
+      |  SELECT term, a, b, n_en - a AS c, n_docs - n_en - b AS d,
+      |    a * (n_docs - n_en - b) - b * (n_en - a) AS adbc, n_docs
+      |  FROM counts CROSS JOIN tot
+      |  WHERE a + b >= 5 AND a + b < n_docs
+      |)
+      |SELECT term, a, b, c, d,
+      |  CAST(n_docs AS DOUBLE) * CAST(adbc AS DOUBLE) * CAST(adbc AS DOUBLE)
+      |    / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+      |       * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) AS chi2
+      |FROM c2
+      |ORDER BY chi2 DESC, term ASC LIMIT 30""".stripMargin))
+
+  val all: Seq[Q] = Seq(q99PerceptronStep, q100Chi2Terms)
+}

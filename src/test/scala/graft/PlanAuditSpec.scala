@@ -33,9 +33,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q53_exact_stats",       // one-row power-sums cross
     "q69_exact_quantiles",   // one-row count cross for rank targets
     "q55_fuzzy_match",       // corpus × broadcast(20 probes), non-equi by nature (levenshtein)
-    "q68_pagerank_step")     // 1-row n_nodes broadcast cross (teleport term)
+    "q68_pagerank_step",     // 1-row n_nodes broadcast cross (teleport term)
+    "q100_chi2_terms")       // 1-row class-totals broadcast cross (contingency margins)
 
-  test("no unplanned cartesian/nested-loop stage anywhere in the 95-query registry") {
+  test("no unplanned cartesian/nested-loop stage anywhere in the full registry") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
       val nested = plan.contains("CartesianProduct") ||
