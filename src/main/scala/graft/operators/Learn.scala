@@ -161,5 +161,58 @@ object Learn {
       |FROM c2
       |ORDER BY chi2 DESC, term ASC LIMIT 30""".stripMargin))
 
+  /** Per-document exact-integer features + label (the q99 feature frame,
+    * reusable across epochs — compute once, cache, iterate). */
+  def features(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val stopArr = array(TextAnalysis.stopwords.map(lit): _*)
+    Tables(spark, dir, "documents")
+      .withColumn("w", TextAnalysis.words(col("text")))
+      .select(
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+        size(col("w")).cast("long").as("wc"),
+        length(col("text")).cast("long").as("cl"),
+        size(filter(col("w"), x => array_contains(stopArr, x)))
+          .cast("long").as("sc"))
+  }
+
+  /** One epoch at micro-unit weights (scale 10⁻⁶): returns (n_mis, grads).
+    * Sign of the margin is scale-invariant, so the integer protocol holds
+    * across epochs without ever touching a double. */
+  private def epoch(feats: org.apache.spark.sql.DataFrame, w: Seq[Long])
+      : (Long, Seq[Long]) = {
+    val m = lit(w(0)) + lit(w(1)) * col("wc") +
+      lit(w(2)) * col("cl") + lit(w(3)) * col("sc")
+    val mis = col("y") * m <= 0
+    val row = feats.agg(
+      sum(when(mis, 1L).otherwise(0L)),
+      sum(when(mis, col("y")).otherwise(0L)),
+      sum(when(mis, col("y") * col("wc")).otherwise(0L)),
+      sum(when(mis, col("y") * col("cl")).otherwise(0L)),
+      sum(when(mis, col("y") * col("sc")).otherwise(0L))).head()
+    (row.getLong(0), (1 to 4).map(row.getLong))
+  }
+
+  /** Full perceptron training loop: batch updates w ← w + η·Σ y·x with
+    * η = 10⁻⁶ (i.e. +grad in micro-units) for `epochs` rounds, starting
+    * from `W`. Returns the (epoch, n_mis, weights) trajectory — epoch 0
+    * is the pre-update state of q99. Each epoch is ONE distributed pass
+    * (scan + 5-counter aggregate); the driver holds only the 4 weights,
+    * so the loop costs epochs × one-job at any corpus size. */
+  def perceptronTrain(spark: org.apache.spark.sql.SparkSession, dir: String,
+      epochs: Int): Seq[(Int, Long, Seq[Long])] = {
+    val feats = features(spark, dir).persist()
+    try {
+      var w = W.map(_._2 * 1000L) // 10⁻³-scale numerators → micro-units
+      val traj = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Seq[Long])]
+      for (e <- 0 until epochs) {
+        val (nMis, g) = epoch(feats, w)
+        traj += ((e, nMis, w))
+        w = w.zip(g).map { case (wi, gi) => wi + gi }
+      }
+      traj.toSeq
+    } finally feats.unpersist()
+  }
+
   val all: Seq[Q] = Seq(q99PerceptronStep, q100Chi2Terms)
 }

@@ -668,6 +668,73 @@ object TextAnalysis {
       |SELECT CAST(rank AS INT) AS rank, pair, merge_count
       |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin))
 
+  /** Leftmost-greedy, non-overlapping application of one BPE merge (l,r) →
+    * l+r over a symbol array — a single `aggregate` HOF pass carrying
+    * (emitted prefix, pending symbol) state: "aaa" under (a,a) becomes
+    * ["aa","a"], never ["aa","aa"]. Row-local, so merge application is
+    * embarrassingly parallel at any corpus size. */
+  private def applyMerge(syms: Column, l: String, r: String): Column = {
+    val init = struct(
+      typedLit(Seq.empty[String]).as("out"),
+      lit(null).cast("string").as("pend"))
+    aggregate(syms, init,
+      (acc, s) => {
+        val canMerge = acc.getField("pend") === lit(l) && s === lit(r)
+        struct(
+          when(acc.getField("pend").isNull, acc.getField("out"))
+            .when(canMerge, concat(acc.getField("out"), array(lit(l + r))))
+            .otherwise(concat(acc.getField("out"), array(acc.getField("pend"))))
+            .as("out"),
+          when(acc.getField("pend").isNull, s)
+            .when(canMerge, lit(null).cast("string"))
+            .otherwise(s).as("pend"))
+      },
+      acc => when(acc.getField("pend").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("pend")))))
+  }
+
+  /** Full BPE tokenizer training (Sennrich et al. 2016): start from
+    * character symbols, repeat `rounds` × [count adjacent pairs weighted by
+    * word freq → argmax with pinned (count DESC, left ASC, right ASC)
+    * tiebreak → apply the merge everywhere]. Returns the merge table —
+    * THE artifact a tokenizer ships. q98 is exactly round one's candidate
+    * list; this is the driver loop over it (protocol of Graph.iterate).
+    * Scale: state is one word-level table (vocab-sized, Zipf-collapsed, NOT
+    * corpus-sized); each round is one explode+agg job plus a row-local
+    * rewrite; localCheckpoint truncates the per-round lineage growth. The
+    * driver holds only the merge table. */
+  def bpeTrain(spark: org.apache.spark.sql.SparkSession, dir: String,
+      rounds: Int): Seq[(String, String, Long)] = {
+    var cur = Tables(spark, dir, "documents")
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(expr("filter(split(word, ''), s -> s <> '')").as("syms"), col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var exhausted = false
+    for (_ <- 0 until rounds if !exhausted) {
+      val top = cur.filter(size(col("syms")) >= 2)
+        .select(col("freq"),
+          explode(sequence(lit(0), size(col("syms")) - 2)).as("i"), col("syms"))
+        .select(element_at(col("syms"), col("i") + 1).as("l"),
+          element_at(col("syms"), col("i") + 2).as("r"), col("freq"))
+        .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((l, r, cnt))
+        val next = cur.select(applyMerge(col("syms"), l, r).as("syms"), col("freq"))
+          .localCheckpoint()
+        cur.unpersist()
+        cur = next
+      }
+    }
+    cur.unpersist()
+    merges.toSeq
+  }
+
   val all: Seq[Q] = Seq(q20TextStats, q21TokenCount, q22LangId, q23Fingerprint,
     q24Quality, q39Winnowing, q64RepetitionSignals, q71InvertedIndex, q73RareTerms,
     q83TokenShards, q87VocabReport, q90PackingReport,

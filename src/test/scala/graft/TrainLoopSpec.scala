@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Learn, TextAnalysis}
+
+/** The iterative trainers (BPE merge-table induction, perceptron epochs)
+  * against from-scratch driver simulations on the sf0.001 corpus — every
+  * round/epoch must agree exactly, not just the final state. */
+class TrainLoopSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = TestSpark.sf0001
+
+  private lazy val docs: Array[(String, String)] = spark.read
+    .parquet(s"$dir/documents.parquet")
+    .select($"lang", $"text").as[(String, String)].collect()
+
+  test("bpeTrain: 6 merge rounds equal a from-scratch BPE trainer") {
+    val rounds = 6
+    var vocab: Map[Vector[String], Long] = docs.toSeq
+      .flatMap(_._2.trim.split("\\s+"))
+      .groupBy(identity).map { case (w, g) =>
+        w.split("").filter(_.nonEmpty).toVector -> g.size.toLong
+      }
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    for (_ <- 0 until rounds) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        pairs((syms(i), syms(i + 1))) = pairs.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      val ((l, r), cnt) = pairs.toSeq.minBy { case ((pl, pr), c) => (-c, pl, pr) }
+      expected += ((l, r, cnt))
+      // leftmost-greedy non-overlapping application
+      vocab = vocab.toSeq.map { case (syms, f) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result() -> f
+      }.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+    }
+    val got = TextAnalysis.bpeTrain(spark, dir, rounds)
+    assert(got == expected.toSeq)
+  }
+
+  test("perceptronTrain: 5-epoch weight trajectory equals a driver simulation") {
+    val epochs = 5
+    val stop = Set("the", "a", "of", "and")
+    val feats = docs.map { case (lang, text) =>
+      val words = text.trim.split("\\s+")
+      (if (lang == "en") 1L else -1L,
+        Array(1L, words.length.toLong, text.length.toLong,
+          words.count(stop).toLong))
+    }
+    var w = Learn.W.map(_._2 * 1000L)
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Seq[Long])]
+    for (e <- 0 until epochs) {
+      var nMis = 0L
+      val g = Array.fill(4)(0L)
+      for ((y, x) <- feats) {
+        val m = w.zip(x).map { case (wi, xi) => wi * xi }.sum
+        if (y * m <= 0) { nMis += 1; for (j <- 0 until 4) g(j) += y * x(j) }
+      }
+      expected += ((e, nMis, w))
+      w = w.zip(g).map { case (wi, gi) => wi + gi }
+    }
+    val got = Learn.perceptronTrain(spark, dir, epochs)
+    assert(got == expected.toSeq)
+    // training actually moves: the misclassified count changes across epochs
+    assert(got.map(_._2).distinct.length > 1)
+  }
+}
