@@ -735,6 +735,25 @@ object TextAnalysis {
     merges.toSeq
   }
 
+  /** Apply a learned merge table to the corpus — the ENCODE side of the
+    * tokenizer: per word, split to characters and fold the merges in
+    * learned-rank order (each one leftmost-greedy, same semantics as
+    * training, so encode(bpeTrain corpus) reproduces training's final
+    * symbol state). The whole encoder is one nested expression per row —
+    * no joins, no shuffles, no state; merge-table size only deepens the
+    * per-row expression. Returns (doc_id, tokens, n_tokens) — n_tokens is
+    * what the q83/q90 packing stages consume. */
+  def bpeEncode(spark: org.apache.spark.sql.SparkSession, dir: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val charSplit = (w: Column) => filter(split(w, ""), s => s =!= lit(""))
+    val encodeWord = (w: Column) =>
+      merges.foldLeft(charSplit(w)) { case (acc, (l, r)) => applyMerge(acc, l, r) }
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        flatten(transform(words(col("text")), w => encodeWord(w))).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+  }
+
   val all: Seq[Q] = Seq(q20TextStats, q21TokenCount, q22LangId, q23Fingerprint,
     q24Quality, q39Winnowing, q64RepetitionSignals, q71InvertedIndex, q73RareTerms,
     q83TokenShards, q87VocabReport, q90PackingReport,

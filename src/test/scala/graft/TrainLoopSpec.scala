@@ -45,6 +45,37 @@ class TrainLoopSpec extends AnyFunSuite {
     assert(got == expected.toSeq)
   }
 
+  test("bpeEncode: applying the learned merges reproduces a driver-side encoder") {
+    val merges = TextAnalysis.bpeTrain(spark, dir, 6).map { case (l, r, _) => (l, r) }
+    def encodeWord(w: String): Vector[String] = {
+      var syms = w.split("").filter(_.nonEmpty).toVector
+      for ((l, r) <- merges) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    val got = TextAnalysis.bpeEncode(spark, dir, merges)
+      .select($"doc_id", $"tokens").as[(Long, Seq[String])].collect().toMap
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    assert(got.size == texts.length)
+    for ((id, text) <- texts) {
+      val expected = text.trim.split("\\s+").toSeq.flatMap(encodeWord)
+      assert(got(id) == expected, s"doc $id")
+    }
+    // the merges actually compress: fewer tokens than characters overall
+    val chars = texts.map(_._2.replaceAll("\\s+", "").length.toLong).sum
+    val toks = got.values.map(_.length.toLong).sum
+    assert(toks < chars)
+  }
+
   test("perceptronTrain: 5-epoch weight trajectory equals a driver simulation") {
     val epochs = 5
     val stop = Set("the", "a", "of", "and")
