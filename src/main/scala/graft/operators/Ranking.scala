@@ -25,8 +25,10 @@ object Ranking {
     * vocabulary: "query" common, "scan" common, "vector" rare). */
   private[operators] val queryTerms: Seq[String] = Seq("query", "scan", "vector")
 
-  /** q84 — BM25 document ranking (k1=1.2, b=0.75, rational idf; see object
-    * doc). Per-doc term frequencies come straight off the words array (one
+  /** The BM25-scored corpus (doc_id, dl, tf_*, bm25; k1=1.2, b=0.75,
+    * rational idf — see object doc), shared by q84 (full ranking) and q101
+    * (candidate generation for the hybrid reranker).
+    * Per-doc term frequencies come straight off the words array (one
     * per-row pass, no explode/shuffle); N, Σdl, and per-term df reduce to a
     * ONE-ROW stats relation that cross-broadcasts back onto the corpus, so
     * the whole scorer is a map-side pass over documents plus one tiny
@@ -37,9 +39,8 @@ object Ranking {
     * (interpreted); for a hot 100 TB path the q21-style explode+agg shape or
     * a native Expression is the swap-in — at a 3-term query set the
     * per-row cost is negligible. */
-  val q84Bm25: Q = Q(
-    "q84_bm25",
-    (s, dir) => {
+  private def bm25Scored(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
       val wtf0 = Tables(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.words(col("text")).as("w"))
         .withColumn("dl", size(col("w")).cast("long"))
@@ -65,12 +66,12 @@ object Ranking {
       }
       val bm25 = termScores.reduceLeft(_ + _)
       val named = queryTerms.zipWithIndex.map { case (t, i) => col(s"tf$i").as(s"tf_$t") }
-      val base = scored.select(
+      scored.select(
         (col("doc_id") +: col("dl") +: named :+ bm25.as("bm25")): _*)
-      base.withColumn("rank",
-        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast("long"))
-    },
-    Some {
+  }
+
+  /** Oracle CTE chain mirroring `bm25Scored` (ends at a `scored` relation). */
+  private def bm25OracleCtes: String = {
       val tfDefs = queryTerms.zipWithIndex.map { case (t, i) =>
         s"    CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT) AS tf$i"
       }.mkString(",\n")
@@ -96,10 +97,69 @@ object Ranking {
          |scored AS (
          |  SELECT doc_id, dl, $tfNames,
          |    $scoreSum AS bm25
-         |  FROM t CROSS JOIN st)
-         |SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
-         |FROM scored""".stripMargin
-    })
+         |  FROM t CROSS JOIN st)""".stripMargin
+  }
 
-  val all: Seq[Q] = Seq(q84Bm25)
+  /** q84 — BM25 document ranking (see object doc for the scoring notes). */
+  val q84Bm25: Q = Q(
+    "q84_bm25",
+    (s, dir) => bm25Scored(s, dir).withColumn("rank",
+      row_number().over(Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast("long")),
+    Some(s"""$bm25OracleCtes
+      |SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+      |FROM scored""".stripMargin))
+
+  /** q101 — hybrid retrieval: lexical candidate generation (BM25 top-50,
+    * the cheap sparse stage that prunes the corpus) followed by a semantic
+    * rerank against a query embedding (vec_id 0 — query-by-example), with
+    * a fixed blend `cosine + 0.1·bm25`. This is the standard two-stage
+    * retrieval architecture: at 100 TB the dense scorer touches only the
+    * 50-row candidate set, never the corpus — the lexical stage is one
+    * map-side pass + a `TakeOrderedAndProject`, the dense stage joins 50
+    * rows against the (pruned) embedding table and broadcasts the one-row
+    * query vector. The native one-pass `graft_dot` expression computes the
+    * dot; norms are precomputed per side (`cosinePre`). */
+  val q101HybridRetrieval: Q = Q(
+    "q101_hybrid_retrieval",
+    (s, dir) => {
+      val cands = bm25Scored(s, dir)
+        .select(col("doc_id"), col("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(50)
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.functions.Similarity.toDoubleArray(col("embedding")).as("emb"))
+        .withColumn("nrm", graft.functions.Similarity.norm(col("emb")))
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+      val reranked = cands
+        .join(e, cands("doc_id") === e("vec_id"))
+        .crossJoin(broadcast(qv))
+        .withColumn("cosine", graft.functions.Similarity.cosinePre(
+          graft.functions.Similarity.dot(col("emb"), col("q_emb")),
+          col("nrm"), col("q_nrm")))
+        .withColumn("hybrid", col("cosine") + lit(0.1) * col("bm25"))
+        .select(col("doc_id"), col("bm25"), col("cosine"), col("hybrid"))
+      reranked.orderBy(col("hybrid").desc, col("doc_id").asc).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("hybrid").desc, col("doc_id").asc)).cast("long"))
+        .select(col("rank"), col("doc_id"), col("bm25"), col("cosine"), col("hybrid"))
+    },
+    Some(s"""$bm25OracleCtes,
+      |cands AS (
+      |  SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 50),
+      |e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings),
+      |qv AS (SELECT emb AS q_emb, nrm AS q_nrm FROM e WHERE vec_id = 0),
+      |reranked AS (
+      |  SELECT c.doc_id, c.bm25,
+      |    list_dot_product(e.emb, qv.q_emb) / (e.nrm * qv.q_nrm) AS cosine,
+      |    list_dot_product(e.emb, qv.q_emb) / (e.nrm * qv.q_nrm) + 0.1 * c.bm25 AS hybrid
+      |  FROM cands c JOIN e ON c.doc_id = e.vec_id CROSS JOIN qv)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY hybrid DESC, doc_id ASC) AS BIGINT) AS rank,
+      |  doc_id, bm25, cosine, hybrid
+      |FROM (SELECT * FROM reranked ORDER BY hybrid DESC, doc_id ASC LIMIT 10) t""".stripMargin))
+
+  val all: Seq[Q] = Seq(q84Bm25, q101HybridRetrieval)
 }

@@ -27,6 +27,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q101: blend arithmetic holds and ranks are a contiguous 1..10") {
+    val out = Ranking.q101HybridRetrieval.run(spark, dir).cache()
+    val rows = out.select(col("rank"), col("bm25"), col("cosine"), col("hybrid"))
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    rows.foreach { case (_, bm25, cos, hybrid) =>
+      assert(hybrid == cos + 0.1 * bm25)
+      assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9)
+    }
+    // output is ordered by the blend, not by either stage alone
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sortBy(-_).toSeq)
+    out.unpersist()
+  }
+
   test("q85: exactly one unpruned seed per cluster chain and null-cos consistency") {
     val out = SimilaritySearch.q85SemDedup.run(spark, dir).cache()
     // the min vec_id of every cluster has no lower-id partner: null cos, unpruned

@@ -34,7 +34,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q69_exact_quantiles",   // one-row count cross for rank targets
     "q55_fuzzy_match",       // corpus × broadcast(20 probes), non-equi by nature (levenshtein)
     "q68_pagerank_step",     // 1-row n_nodes broadcast cross (teleport term)
-    "q100_chi2_terms")       // 1-row class-totals broadcast cross (contingency margins)
+    "q100_chi2_terms",       // 1-row class-totals broadcast cross (contingency margins)
+    "q101_hybrid_retrieval") // q84's stats cross + 1-row query-vector broadcast
 
   test("no unplanned cartesian/nested-loop stage anywhere in the full registry") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
