@@ -673,7 +673,7 @@ object TextAnalysis {
     * (emitted prefix, pending symbol) state: "aaa" under (a,a) becomes
     * ["aa","a"], never ["aa","aa"]. Row-local, so merge application is
     * embarrassingly parallel at any corpus size. */
-  private def applyMerge(syms: Column, l: String, r: String): Column = {
+  private[graft] def applyMerge(syms: Column, l: String, r: String): Column = {
     val init = struct(
       typedLit(Seq.empty[String]).as("out"),
       lit(null).cast("string").as("pend"))

@@ -329,6 +329,26 @@ object Events {
       joinType)
   }
 
+  /** Streaming heavy hitters: per tumbling 1-hour window, a top-k term
+    * summary via the custom MERGEABLE `graft_heavy_hitters` aggregate —
+    * the TypedImperativeAggregate buffer serializes into the streaming
+    * state store, so the same Misra-Gries sketch that powers q95 in batch
+    * is maintained incrementally across micro-batches under a watermark
+    * (mergeability is exactly what the state-store update path requires).
+    * With k ≥ distinct terms the summary is exact and batch/stream agree
+    * bit-for-bit; below that the ±n/k guarantee carries over. */
+  def streamingHeavyHitters(spark: SparkSession, dir: String, k: Int = 4)
+      : DataFrame = {
+    graft.expressions.GraftExtensions.register(spark)
+    spark.readStream
+      .schema(Tables.schemas("events"))
+      .parquet(dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(expr(s"graft_heavy_hitters(event_type, $k)").as("top_terms"))
+      .select(col("window.start").as("window_start"), col("top_terms"))
+  }
+
   val all: Seq[Q] = Seq(q14Tumbling, q15Sessions, q16FirstTouch, q17JsonExtract,
     q18Sliding, q19Sketches, q49HllUnion, q50StratifiedSample, q51Histogram,
     q52RegexParse, q93ConversionJoin, q94ConversionOuter)

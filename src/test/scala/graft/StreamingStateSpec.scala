@@ -213,6 +213,47 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(verdicts.filter(col("content_hash").isNull).count() == 0)
   }
 
+  test("streaming heavy hitters maintain the Misra-Gries summary per window across batches") {
+    val dir = Files.createTempDirectory("graft-shh").toFile.getAbsolutePath
+    // 3 distinct terms < k=4 → the summary is EXACT and order-independent,
+    // so the stream (state-store merges across batches) must equal batch
+    eventsDf(Seq(
+      (1L, "2024-01-01 00:05:00", 1L, "click", 1.0, "{}"),
+      (2L, "2024-01-01 00:15:00", 2L, "click", 1.0, "{}"),
+      (3L, "2024-01-01 00:25:00", 3L, "view", 1.0, "{}")))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val q = graft.streaming.Events.streamingHeavyHitters(spark, dir, k = 4)
+      .writeStream.format("memory").queryName("shh_test")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // second batch lands in the SAME window (exercises the state merge),
+    // third event far in the future closes it via the watermark
+    eventsDf(Seq(
+      (4L, "2024-01-01 00:35:00", 4L, "view", 1.0, "{}"),
+      (5L, "2024-01-01 00:45:00", 5L, "purchase", 1.0, "{}"),
+      (6L, "2024-01-01 00:55:00", 6L, "click", 1.0, "{}"),
+      (7L, "2024-01-02 12:00:00", 9L, "click", 1.0, "{}")))
+      .coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    graft.expressions.GraftExtensions.register(spark)
+    val batch = spark.read.parquet(dir)
+      .filter(col("ts") < lit("2024-01-01 01:00:00").cast("timestamp"))
+      .agg(expr("graft_heavy_hitters(event_type, 4)").as("top_terms"))
+      .select(col("top_terms")).collect()(0).getSeq[Any](0)
+    val streamed = spark.table("shh_test")
+      .filter(col("window_start") === lit("2024-01-01 00:00:00").cast("timestamp"))
+      .select(col("top_terms")).collect()
+    assert(streamed.length == 1)
+    assert(streamed(0).getSeq[Any](0) == batch)
+    // exact regime: click=3, view=2, purchase=1, ordered (est desc, term asc)
+    val terms = spark.table("shh_test")
+      .filter(col("window_start") === lit("2024-01-01 00:00:00").cast("timestamp"))
+      .select(explode(col("top_terms")).as("t"))
+      .select(col("t.term"), col("t.est")).as[(String, Long)].collect().toSeq
+    assert(terms == Seq(("click", 3L), ("view", 2L), ("purchase", 1L)))
+  }
+
   test("dropDuplicatesWithinWatermark dedupes replays across batches") {
     val dir = Files.createTempDirectory("graft-dedup").toFile.getAbsolutePath
     eventsDf(Seq(

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{Learn, TextAnalysis}
 
@@ -74,6 +75,31 @@ class TrainLoopSpec extends AnyFunSuite {
     val chars = texts.map(_._2.replaceAll("\\s+", "").length.toLong).sum
     val toks = got.values.map(_.length.toLong).sum
     assert(toks < chars)
+  }
+
+  test("applyMerge: randomized symbol arrays match the reference leftmost-greedy pass") {
+    // fixed-seed random arrays over a 2-symbol alphabet maximize merge
+    // collisions (overlaps like "aaa", adjacent re-formations, boundary hits)
+    val rnd = new scala.util.Random(42)
+    val cases = Seq.fill(200)(Vector.fill(rnd.nextInt(9))(
+      if (rnd.nextBoolean()) "a" else "b"))
+    def reference(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    for ((l, r) <- Seq(("a", "a"), ("a", "b"), ("b", "a"))) {
+      val df = cases.toDF("syms")
+        .select(TextAnalysis.applyMerge(col("syms"), l, r).as("merged"))
+      val got = df.as[Seq[String]].collect().toSeq
+      val want = cases.map(c => reference(c, l, r).toSeq)
+      assert(got == want, s"merge ($l,$r)")
+    }
   }
 
   test("perceptronTrain: 5-epoch weight trajectory equals a driver simulation") {
