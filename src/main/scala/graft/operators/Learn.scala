@@ -161,6 +161,139 @@ object Learn {
       |FROM c2
       |ORDER BY chi2 DESC, term ASC LIMIT 30""".stripMargin))
 
+  /** One row per in-document bigram occurrence (doc_id, lang, a, b) —
+    * the token stream both LM operators consume. */
+  private def docBigrams(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("w", TextAnalysis.words(col("text")))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1), size(col("w")) - 1)).as("i"), col("w"))
+      .select(col("doc_id"), col("lang"),
+        element_at(col("w"), col("i")).as("a"),
+        element_at(col("w"), col("i") + 1).as("b"))
+
+  /** q102 — bigram language-model fluency scoring (the KenLM-style
+    * perplexity filter of LLM data pipelines, made cross-engine exact):
+    * train the bigram LM on the corpus itself (c2 = bigram count, c1 =
+    * prefix count, one aggregate each), then score every document by its
+    * mean transition probability. Each probability is INTEGER-quantized —
+    * q = (10⁶·c2) div c1, exact floor division in both engines — so the
+    * per-doc sum is an order-independent BIGINT and only the final mean
+    * divides as double. (True log-perplexity needs `ln`, which is not
+    * bitwise-portable — see Ranking's probe; the mean-probability score
+    * induces a usable fluency ORDER with exact arithmetic.) Scale shape:
+    * the count tables are vocab²-bounded → broadcast back onto the token
+    * stream, so scoring is one map-side pass; nothing corpus-sized ever
+    * shuffles except the bigram count aggregate itself. */
+  val q102BigramLm: Q = Q(
+    "q102_bigram_lm",
+    (s, dir) => {
+      val bigrams = docBigrams(s, dir)
+      val c2 = bigrams.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy(col("a")).agg(sum(col("c2")).as("c1"))
+      val lm = c2.join(c1, "a")
+      bigrams
+        .join(broadcast(lm), Seq("a", "b"))
+        .withColumn("q", expr("(1000000 * c2) div c1"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_q"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_q"),
+          (col("sum_q").cast("double") /
+            (col("n_bigrams") * lit(1000000L)).cast("double")).as("fluency"))
+    },
+    Some("""WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents
+      |), bg AS (
+      |  SELECT doc_id,
+      |    w[CAST(i.i AS INTEGER)] AS a, w[CAST(i.i AS INTEGER) + 1] AS b
+      |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) i
+      |  WHERE len(w) >= 2
+      |), c2 AS (
+      |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY a, b
+      |), c1 AS (
+      |  SELECT a, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY a
+      |), scored AS (
+      |  SELECT bg.doc_id, (1000000 * c2.c2) // c1.c1 AS q
+      |  FROM bg JOIN c2 USING (a, b) JOIN c1 ON bg.a = c1.a
+      |)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(q) AS BIGINT) AS sum_q,
+      |  CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) * 1000000 AS DOUBLE) AS fluency
+      |FROM scored GROUP BY doc_id""".stripMargin))
+
+  /** q103 — DSIR-style importance weights (Xie et al. 2023's data-selection
+    * shape): score every document under TWO bigram LMs — the TARGET model
+    * trained on the lang='en' slice and the SOURCE model trained on the
+    * whole corpus — and weight it by the ratio of mean transition
+    * probabilities. Bigrams unseen by the target LM contribute probability
+    * 0 (left join + COALESCE — the add-zero analogue of unseen-token
+    * smoothing), so off-target documents sink. All per-bigram
+    * probabilities are the same (10⁶·c)/prefix integer quantization as
+    * q102; the weight is ONE double division of two exact BIGINTs. Docs
+    * whose source score is zero are excluded (weight undefined). At scale
+    * both LM tables are vocab²-bounded broadcasts over a single token
+    * stream pass. */
+  val q103DsirWeights: Q = Q(
+    "q103_dsir_weights",
+    (s, dir) => {
+      val bigrams = docBigrams(s, dir)
+      val s2 = bigrams.groupBy(col("a"), col("b")).agg(count(lit(1)).as("s2"))
+      val s1 = s2.groupBy(col("a")).agg(sum(col("s2")).as("s1"))
+      val t2 = bigrams.filter(col("lang") === "en")
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("t2"))
+      val t1 = t2.groupBy(col("a")).agg(sum(col("t2")).as("t1"))
+      val srcLm = s2.join(s1, "a")
+      val tgtLm = t2.join(t1, "a")
+      bigrams
+        .join(broadcast(srcLm), Seq("a", "b"))
+        .join(broadcast(tgtLm), Seq("a", "b"), "left")
+        .withColumn("qs", expr("(1000000 * s2) div s1"))
+        .withColumn("qt", coalesce(expr("(1000000 * t2) div t1"), lit(0L)))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("qs")).as("sum_qs"), sum(col("qt")).as("sum_qt"))
+        .filter(col("sum_qs") > 0)
+        .select(col("doc_id"), col("lang"), col("n_bigrams"),
+          col("sum_qs"), col("sum_qt"),
+          (col("sum_qt").cast("double") / col("sum_qs").cast("double"))
+            .as("dsir_weight"))
+    },
+    Some("""WITH d AS (
+      |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents
+      |), bg AS (
+      |  SELECT doc_id, lang,
+      |    w[CAST(i.i AS INTEGER)] AS a, w[CAST(i.i AS INTEGER) + 1] AS b
+      |  FROM d, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) i
+      |  WHERE len(w) >= 2
+      |), s2 AS (
+      |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS s2 FROM bg GROUP BY a, b
+      |), s1 AS (
+      |  SELECT a, CAST(SUM(s2) AS BIGINT) AS s1 FROM s2 GROUP BY a
+      |), t2 AS (
+      |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS t2
+      |  FROM bg WHERE lang = 'en' GROUP BY a, b
+      |), t1 AS (
+      |  SELECT a, CAST(SUM(t2) AS BIGINT) AS t1 FROM t2 GROUP BY a
+      |), scored AS (
+      |  SELECT bg.doc_id, bg.lang,
+      |    (1000000 * s2.s2) // s1.s1 AS qs,
+      |    COALESCE((1000000 * t2.t2) // t1.t1, 0) AS qt
+      |  FROM bg
+      |  JOIN s2 USING (a, b) JOIN s1 ON bg.a = s1.a
+      |  LEFT JOIN t2 USING (a, b) LEFT JOIN t1 ON bg.a = t1.a
+      |), rolled AS (
+      |  SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(qs) AS BIGINT) AS sum_qs, CAST(SUM(qt) AS BIGINT) AS sum_qt
+      |  FROM scored GROUP BY doc_id, lang
+      |)
+      |SELECT doc_id, lang, n_bigrams, sum_qs, sum_qt,
+      |  CAST(sum_qt AS DOUBLE) / CAST(sum_qs AS DOUBLE) AS dsir_weight
+      |FROM rolled WHERE sum_qs > 0""".stripMargin))
+
   /** Per-document exact-integer features + label (the q99 feature frame,
     * reusable across epochs — compute once, cache, iterate). */
   def features(spark: org.apache.spark.sql.SparkSession, dir: String)
@@ -214,5 +347,5 @@ object Learn {
     } finally feats.unpersist()
   }
 
-  val all: Seq[Q] = Seq(q99PerceptronStep, q100Chi2Terms)
+  val all: Seq[Q] = Seq(q99PerceptronStep, q100Chi2Terms, q102BigramLm, q103DsirWeights)
 }

@@ -43,6 +43,46 @@ class LearnSpec extends AnyFunSuite {
     }
   }
 
+  private def bigramsOf(text: String): Seq[(String, String)] = {
+    val w = text.trim.split("\\s+")
+    if (w.length < 2) Seq.empty else w.sliding(2).map(p => (p(0), p(1))).toSeq
+  }
+
+  test("q102: quantized bigram-LM scores equal a from-scratch recount") {
+    val allDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val c2 = scala.collection.mutable.Map.empty[(String, String), Long]
+    for ((_, t) <- allDocs; bg <- bigramsOf(t)) c2(bg) = c2.getOrElse(bg, 0L) + 1
+    val c1 = c2.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+    val expected = allDocs.flatMap { case (id, t) =>
+      val bgs = bigramsOf(t)
+      if (bgs.isEmpty) None
+      else Some(id -> (bgs.length.toLong,
+        bgs.map(bg => 1000000L * c2(bg) / c1(bg._1)).sum))
+    }.toMap
+    val got = Learn.q102BigramLm.run(spark, dir)
+      .select($"doc_id", $"n_bigrams", $"sum_q", $"fluency")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == expected.size)
+    for ((id, n, sq, fl) <- got) {
+      assert((n, sq) == expected(id), s"doc $id")
+      assert(fl == sq.toDouble / (n * 1000000L).toDouble)
+    }
+  }
+
+  test("q103: dsir weights favor the target slice on average") {
+    val out = Learn.q103DsirWeights.run(spark, dir).cache()
+    // weights live in [0, ~1+]: qt <= 10^6 per bigram; and sum_qt <= would
+    // not generally bound by sum_qs, but zero-target bigrams force qt=0
+    assert(out.filter($"dsir_weight" < 0.0).count() == 0)
+    val meanByClass = out.groupBy($"lang" === "en")
+      .agg(org.apache.spark.sql.functions.avg($"dsir_weight"))
+      .as[(Boolean, Double)].collect().toMap
+    // the target LM is trained ON the en slice: en docs must score higher
+    assert(meanByClass(true) > meanByClass(false))
+    out.unpersist()
+  }
+
   test("q100: contingency and chi-squared equal a from-scratch recount") {
     val nDocs = docs.length.toLong
     val nEn = docs.count(_._1 == "en").toLong
