@@ -91,9 +91,10 @@ object Multimodal {
     docs.withColumn("data", col("text").cast("binary"))
 
   /** Decode one payload: REAL parse for netpbm (true dimensions + pixel
-    * mean), `fakeDecode` fallback for formats whose codecs the container
-    * can't host. This is the kernel `decodeFeatures` runs per row; `md` is
-    * the partition-scoped digest (per-partition init, not per-row). */
+    * mean), then REAL ImageIO decode for PNG/BMP/GIF/JPEG, `fakeDecode`
+    * fallback only for formats with no JVM codec. This is the kernel
+    * `decodeFeatures` runs per row; `md` is the partition-scoped digest
+    * (per-partition init, not per-row). */
   def decode(docId: Long, bytes: Array[Byte], nChars: Long,
       md: java.security.MessageDigest): MediaFeature =
     decodePnm(bytes) match {
@@ -105,12 +106,61 @@ object Multimodal {
         height = f.height.toLong,
         channels = f.channels.toLong,
         mean_byte = sampleMean(bytes, f.dataStart, f.dataEnd))
-      case None => fakeDecode(docId, bytes, nChars, md)
+      case None => decodeRaster(bytes) match {
+        case Some(r) => MediaFeature(
+          doc_id = docId,
+          byte_len = bytes.length.toLong,
+          content_md5 = md.digest(bytes).map("%02x".format(_)).mkString,
+          width = r.width.toLong,
+          height = r.height.toLong,
+          channels = r.channels.toLong,
+          mean_byte = r.meanByte)
+        case None => fakeDecode(docId, bytes, nChars, md)
+      }
     }
 
-  /** STUB decode kernel — deterministic fake standing in for a COMPRESSED
-    * format's decoder (JPEG/PNG/audio; no codecs in this container). The
-    * fake derives dimensions from metadata and a byte-mean "feature". */
+  /** A decoded standard-raster frame (see `decodeRaster`). */
+  final case class RasterFrame(width: Int, height: Int, channels: Int, meanByte: Double)
+
+  /** REAL decoder for the standard compressed raster containers — PNG,
+    * BMP, GIF, JPEG — via the JDK's own `javax.imageio` (java.desktop
+    * ships with every JDK, so these formats need no external codec; only
+    * exotic/video containers remain on the declared stub below). A 4-byte
+    * magic sniff rejects non-raster payloads before ImageIO probing.
+    * Mean byte is an exact integer sum of the R+G+B samples divided once
+    * — deterministic across JVMs for the lossless formats. */
+  def decodeRaster(bytes: Array[Byte]): Option[RasterFrame] = {
+    if (bytes.length < 4) return None
+    val isPng = (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'
+    val isJpg = (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8
+    val isBmp = bytes(0) == 'B' && bytes(1) == 'M'
+    val isGif = bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F'
+    if (!isPng && !isJpg && !isBmp && !isGif) return None
+    javax.imageio.ImageIO.setUseCache(false) // no tmp-file cache on executors
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) None
+    else {
+      var s = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      val n = img.getWidth.toLong * img.getHeight * 3L
+      Some(RasterFrame(img.getWidth, img.getHeight,
+        img.getColorModel.getNumComponents,
+        if (n == 0) 0.0 else s.toDouble / n))
+    }
+  }
+
+  /** STUB decode kernel — deterministic fake standing in for formats with
+    * no JVM codec (video containers, exotic audio). The fake derives
+    * dimensions from metadata and a byte-mean "feature". */
   def fakeDecode(docId: Long, bytes: Array[Byte], nChars: Long,
       md: java.security.MessageDigest): MediaFeature = {
     val sum = { var s = 0L; var i = 0; while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }; s }

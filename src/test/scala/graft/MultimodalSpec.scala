@@ -43,6 +43,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3L).width == 64 + 12 % 512 && out(3L).channels == 3)
   }
 
+  test("PNG and BMP decode is REAL via the JDK's ImageIO: dimensions and exact mean") {
+    // 4×2 gradient: pixel (x,y) has r=g=b = 16*(y*4+x) → mean = 16*3.5 = 56.0
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val v = 16 * (y * 4 + x)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    for (fmt <- Seq("png", "bmp")) {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"ImageIO lacks $fmt")
+      val bytes = bos.toByteArray
+      val r = Multimodal.decodeRaster(bytes).get
+      assert((r.width, r.height, r.channels) == ((4, 2, 3)), fmt)
+      assert(r.meanByte == 56.0, fmt)
+      // end-to-end through the partition-wise kernel: raster rung wins
+      val feats = Multimodal.decodeFeatures(spark,
+        Seq((7L, bytes, 0L)).toDF("doc_id", "data", "n_chars")).collect()
+      assert(feats.length == 1)
+      assert((feats(0).width, feats(0).height, feats(0).mean_byte) == ((4L, 2L, 56.0)), fmt)
+    }
+    // non-raster payloads never reach ImageIO (magic sniff) → None
+    assert(Multimodal.decodeRaster("plain text payload".getBytes).isEmpty)
+  }
+
   test("truncated or high-maxval netpbm payloads fall back to the stub") {
     val truncated = ppm(4, 2, 0).dropRight(5)
     val wide = "P5\n2 2\n65535\n".getBytes("US-ASCII") ++ Array.fill(8)(0.toByte)
