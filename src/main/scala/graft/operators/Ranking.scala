@@ -100,11 +100,19 @@ object Ranking {
          |  FROM t CROSS JOIN st)""".stripMargin
   }
 
-  /** q84 — BM25 document ranking (see object doc for the scoring notes). */
+  /** q84 — BM25 document ranking (see object doc for the scoring notes).
+    * The corpus-wide rank is the `Ranks.withGlobalOrder` two-level prefix
+    * sum — range-partitioned on (bm25 desc, doc_id), ranked within each
+    * partition in parallel, partition offsets from a tiny totals relation —
+    * NOT a global `Window.orderBy`, which would collapse the whole scored
+    * corpus onto one partition (PlanAuditSpec forbids that shape
+    * registry-wide). The (bm25, doc_id) composite key is unique, so the
+    * range sampler balances partitions even when one score value (e.g. the
+    * zero-match mass) dominates. */
   val q84Bm25: Q = Q(
     "q84_bm25",
-    (s, dir) => bm25Scored(s, dir).withColumn("rank",
-      row_number().over(Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast("long")),
+    (s, dir) => Ranks.withGlobalOrder(bm25Scored(s, dir),
+      Seq(col("bm25").desc, col("doc_id").asc), "rank"),
     Some(s"""$bm25OracleCtes
       |SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
       |FROM scored""".stripMargin))

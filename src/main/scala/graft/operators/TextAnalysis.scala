@@ -438,15 +438,16 @@ object TextAnalysis {
     * cumulative share, alongside total-token / vocabulary-size / hapax
     * counts. Everything reduces to ONE term-count aggregate: the summary is
     * a re-aggregation of the (term, cnt) relation (tiny — vocabulary-sized),
-    * the top-50 is a rank window over the same relation, and shares are
+    * the top-50 rank and cumulative share come from the distributed
+    * two-level prefix sum (`Ranks.withGlobalOrder` — no unpartitioned
+    * window even at web-corpus vocabulary sizes), and shares are
     * single divisions of exact BIGINT sums, so the doubles are
     * bitwise-portable. At 100 TB the token explode is map-side partial-agg
-    * (term-count relation ≪ corpus) and only vocabulary-sized relations
-    * ever reach a single partition. */
+    * (term-count relation ≪ corpus) and only partition-count-sized
+    * relations ever reach a single partition. */
   val q87VocabReport: Q = Q(
     "q87_vocab_report",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val tc = Tables(s, dir, "documents")
         .select(explode(words(col("text"))).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
@@ -454,10 +455,12 @@ object TextAnalysis {
         sum(col("cnt")).as("total_tokens"),
         count(lit(1)).as("vocab_size"),
         sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax_terms"))
-      val ord = Window.orderBy(col("cnt").desc, col("term").asc)
-      tc.withColumn("rank", row_number().over(ord).cast("long"))
-        .withColumn("cum_cnt",
-          sum(col("cnt")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // rank + running share via the distributed two-level prefix sum —
+      // vocab is "small" at test SF but web-corpus vocabularies are not,
+      // and the technique costs nothing extra (PlanAuditSpec forbids the
+      // unpartitioned-window alternative registry-wide).
+      Ranks.withGlobalOrder(tc, Seq(col("cnt").desc, col("term").asc),
+          "rank", running = Seq((col("cnt"), "cum_cnt")))
         .filter(col("rank") <= 50)
         .crossJoin(broadcast(summary))
         .select(col("rank"), col("term"), col("cnt"),

@@ -48,6 +48,35 @@ object Tables {
   def overwrite(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Batched JDBC sink — the reference's ACTUAL serving-layer write
+    * (scripts/main.py:55-62: `to_sql(..., if_exists='replace',
+    * method='multi', chunksize=10000)`) re-expressed on Spark's parallel
+    * JDBC writer: every partition opens its own connection and flushes
+    * `batchsize`-row multi-row batches (`addBatch`/`executeBatch` — the
+    * exact analog of pandas' `method='multi'` + `chunksize`), and
+    * `overwrite` drops-and-recreates like `if_exists='replace'`.
+    *
+    * Scale contrast with the reference: pandas funnels the whole relation
+    * through ONE driver-side connection; here write parallelism equals the
+    * partition count, so the sink saturates the database, not the driver.
+    * Cap concurrent connections for a fragile serving DB by coalescing
+    * first (`df.coalesce(n)`), not by shrinking the batch. */
+  def jdbcSink(df: DataFrame, url: String, table: String,
+      batchsize: Int = 10000, overwrite: Boolean = true,
+      properties: java.util.Properties = new java.util.Properties()): Unit = {
+    val props = new java.util.Properties()
+    props.putAll(properties)
+    props.setProperty("batchsize", batchsize.toString)
+    df.write.mode(if (overwrite) "overwrite" else "append").jdbc(url, table, props)
+  }
+
+  /** JDBC readback (serving-layer verification / reverse ETL). For a big
+    * table pass `partitionColumn`/bounds via `properties` so the read fans
+    * out instead of streaming through one connection. */
+  def jdbc(spark: SparkSession, url: String, table: String,
+      properties: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, properties)
+
   /** Explicit schemas for the testdata tables (FIXTURES.md §1) — used by
     * unit tests and by any CSV round-trip of the same shapes. */
   val schemas: Map[String, StructType] = Map(

@@ -37,6 +37,49 @@ class PlanAuditSpec extends AnyFunSuite {
     "q100_chi2_terms",       // 1-row class-totals broadcast cross (contingency margins)
     "q101_hybrid_retrieval") // q84's stats cross + 1-row query-vector broadcast
 
+  /** Queries allowed to keep an unpartitioned WindowExec that the
+    * reachability heuristic below cannot prove tiny. (Windows whose input
+    * passes through an aggregate or limit are auto-accepted — e.g. q83's
+    * bucket-offset window over the |docs|/256-row totals relation.) */
+  private val tinyWindowAllowlist: Set[String] = Set.empty
+
+  test("no unpartitioned window over an unreduced data-scale scan") {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+
+    // A subtree is "data-scale" if a file scan reaches the window without
+    // passing through an aggregation or a limit (both reduce cardinality to
+    // group-key / k-row grain). Conservative: joins, exchanges, projects,
+    // filters etc. all preserve the taint.
+    def unreducedScan(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => false
+      case _: GlobalLimitExec | _: LocalLimitExec |
+           _: TakeOrderedAndProjectExec => false
+      // A broadcast input is size-bounded by the engine itself (autoBroadcast
+      // threshold / broadcast OOM guard) — never data-scale.
+      case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => false
+      case _: FileSourceScanExec => true
+      case a: AdaptiveSparkPlanExec => unreducedScan(a.executedPlan)
+      case other => other.children.exists(unreducedScan)
+    }
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = unwrap(fn(spark, TestSpark.sf0001).queryExecution.executedPlan)
+      val bad = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty && unreducedScan(w.child) => w
+      }
+      if (bad.nonEmpty && !tinyWindowAllowlist(name)) Some(name) else None
+    }
+    graft.operators.Dedup.releaseCaches(spark)
+    assert(offenders.isEmpty,
+      s"data-scale unpartitioned window (single-partition global sort) in: $offenders")
+  }
+
   test("no unplanned cartesian/nested-loop stage anywhere in the full registry") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString
