@@ -102,7 +102,9 @@ object Learn {
     * containing it, c/d = the complements. All contingency arithmetic is
     * exact BIGINT; χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) converts the
     * (< 2⁵³) integers to doubles in one fixed expression shape. Terms in
-    * < 5 or = N documents are excluded (degenerate margins). Scale shape:
+    * < 5 or = N documents are excluded (degenerate margins), and a
+    * single-class corpus (n_en = 0 or N, where χ² is 0/0 for every term)
+    * yields the empty result instead of NaN rows. Scale shape:
     * distinct-(doc,term) explode → one term-keyed count aggregate → tiny
     * broadcast cross with the one-row class totals → top-30
     * TakeOrderedAndProject. */
@@ -121,6 +123,12 @@ object Learn {
         sum(lit(1L) - col("en")).as("b"))
       val c2 = counts.crossJoin(broadcast(totals))
         .filter(col("a") + col("b") >= 5 && col("a") + col("b") < col("n_docs"))
+        // degenerate class margins: a single-class corpus (all or no docs
+        // 'en') makes (a+c) or (b+d) zero → 0/0 = NaN for EVERY term and the
+        // top-30 order collapses to NaN placement. Guard here (inactive on
+        // mixed corpora, so the oracle hash is unchanged) rather than
+        // documenting a precondition.
+        .filter(col("n_en") > 0 && col("n_en") < col("n_docs"))
         .withColumn("c", col("n_en") - col("a"))
         .withColumn("d", col("n_docs") - col("n_en") - col("b"))
         .withColumn("adbc", col("a") * col("d") - col("b") * col("c"))
@@ -153,6 +161,7 @@ object Learn {
       |    a * (n_docs - n_en - b) - b * (n_en - a) AS adbc, n_docs
       |  FROM counts CROSS JOIN tot
       |  WHERE a + b >= 5 AND a + b < n_docs
+      |    AND n_en > 0 AND n_en < n_docs
       |)
       |SELECT term, a, b, c, d,
       |  CAST(n_docs AS DOUBLE) * CAST(adbc AS DOUBLE) * CAST(adbc AS DOUBLE)

@@ -9,12 +9,13 @@ import graft.sources.Tables
   * opaque `binary` columns with typed metadata, decode/feature-extraction as
   * partition-wise batch functions.
   *
-  * The decode kernel is REAL for uncompressed binary netpbm payloads
-  * (`decodePnm`: P5 grayscale / P6 RGB headers parsed, true dimensions and
-  * pixel statistics computed, concatenated-frame streams split — pure JVM,
-  * no codec dependency), and a clearly-marked deterministic fake
-  * (`fakeDecode`) stands in ONLY for compressed formats (JPEG/PNG/audio),
-  * whose codecs this container cannot host. Everything around the kernel —
+  * The decode ladder is REAL for two rungs and stubbed for the third:
+  * (1) `decodePnm` — pure-JVM binary netpbm (P5/P6) header parse + pixel
+  * statistics, concatenated-frame streams split; (2) `decodeRaster` —
+  * PNG/BMP/GIF/JPEG through the JDK's own `javax.imageio` (magic-sniffed,
+  * malformed payloads fall through); (3) `fakeDecode` — a clearly-marked
+  * deterministic fake ONLY for formats with no JVM codec (video
+  * containers, exotic audio). Everything around the kernel —
   * schema, binary column handling, partition batching, the typed Dataset
   * signature — is the production plumbing either kernel plugs into. The
   * Scala analog of a Pandas `mapInPandas` UDF is `mapPartitions` over a
@@ -122,11 +123,21 @@ object Multimodal {
   /** A decoded standard-raster frame (see `decodeRaster`). */
   final case class RasterFrame(width: Int, height: Int, channels: Int, meanByte: Double)
 
+  /** One-time JVM init for ImageIO: disable the tmp-file read cache on
+    * executors. `setUseCache` mutates unsynchronized global state, so it
+    * must run once per JVM (lazy val), not per row from task threads. */
+  private lazy val imageIoInit: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** REAL decoder for the standard compressed raster containers — PNG,
     * BMP, GIF, JPEG — via the JDK's own `javax.imageio` (java.desktop
     * ships with every JDK, so these formats need no external codec; only
     * exotic/video containers remain on the declared stub below). A 4-byte
-    * magic sniff rejects non-raster payloads before ImageIO probing.
+    * magic sniff rejects non-raster payloads before ImageIO probing, and a
+    * payload whose magic matches but whose body is corrupt/truncated
+    * (ImageIO throws IOException or a codec RuntimeException) returns None
+    * — falling through to `fakeDecode` like truncated netpbm does, instead
+    * of crashing the Spark task.
     * Mean byte is an exact integer sum of the R+G+B samples divided once
     * — deterministic across JVMs for the lossless formats. */
   def decodeRaster(bytes: Array[Byte]): Option[RasterFrame] = {
@@ -136,25 +147,29 @@ object Multimodal {
     val isBmp = bytes(0) == 'B' && bytes(1) == 'M'
     val isGif = bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F'
     if (!isPng && !isJpg && !isBmp && !isGif) return None
-    javax.imageio.ImageIO.setUseCache(false) // no tmp-file cache on executors
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-    if (img == null) None
-    else {
-      var s = 0L
-      var y = 0
-      while (y < img.getHeight) {
-        var x = 0
-        while (x < img.getWidth) {
-          val rgb = img.getRGB(x, y)
-          s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-          x += 1
+    imageIoInit
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        var s = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        val n = img.getWidth.toLong * img.getHeight * 3L
+        Some(RasterFrame(img.getWidth, img.getHeight,
+          img.getColorModel.getNumComponents,
+          if (n == 0) 0.0 else s.toDouble / n))
       }
-      val n = img.getWidth.toLong * img.getHeight * 3L
-      Some(RasterFrame(img.getWidth, img.getHeight,
-        img.getColorModel.getNumComponents,
-        if (n == 0) 0.0 else s.toDouble / n))
+    } catch {
+      case _: java.io.IOException | _: RuntimeException => None
     }
   }
 

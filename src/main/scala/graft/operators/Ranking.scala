@@ -40,7 +40,19 @@ object Ranking {
     * a native Expression is the swap-in — at a 3-term query set the
     * per-row cost is negligible. */
   private def bm25Scored(s: org.apache.spark.sql.SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame = bm25ScoredIdf(s, dir, lnIdf = false)
+
+  /** Shared scorer for both idf variants. `lnIdf = false` → the rational
+    * hash-checkable score (object doc); `lnIdf = true` → TEXTBOOK BM25
+    * (Robertson idf `ln(1 + (N-df+0.5)/(df+0.5))`, the Lucene form) as the
+    * `bm25_ln` column — what a real deployment ranks by. The ln variant is
+    * deterministic WITHIN the JVM but not bitwise-portable across engines
+    * (ln differs in the last ulp for 7/5550 df inputs — object doc), so
+    * q104 ships without oracle SQL (driver rows-only check) and
+    * CorpusOpsSpec pins its values against an independently-computed
+    * reference instead. Plan shape is identical to q84's. */
+  private def bm25ScoredIdf(s: org.apache.spark.sql.SparkSession, dir: String,
+      lnIdf: Boolean): org.apache.spark.sql.DataFrame = {
       val wtf0 = Tables(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.words(col("text")).as("w"))
         .withColumn("dl", size(col("w")).cast("long"))
@@ -59,7 +71,8 @@ object Ranking {
       val termScores = queryTerms.indices.map { i =>
         val tf = col(s"tf$i").cast("double")
         val dfD = col(s"df$i").cast("double")
-        val idf = (col("n_docs").cast("double") - dfD + lit(0.5)) / (dfD + lit(0.5))
+        val idfR = (col("n_docs").cast("double") - dfD + lit(0.5)) / (dfD + lit(0.5))
+        val idf = if (lnIdf) log(idfR + lit(1.0)) else idfR
         val tfn = (tf * lit(2.2)) /
           (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
         idf * tfn
@@ -67,7 +80,8 @@ object Ranking {
       val bm25 = termScores.reduceLeft(_ + _)
       val named = queryTerms.zipWithIndex.map { case (t, i) => col(s"tf$i").as(s"tf_$t") }
       scored.select(
-        (col("doc_id") +: col("dl") +: named :+ bm25.as("bm25")): _*)
+        (col("doc_id") +: col("dl") +: named :+
+          bm25.as(if (lnIdf) "bm25_ln" else "bm25")): _*)
   }
 
   /** Oracle CTE chain mirroring `bm25Scored` (ends at a `scored` relation). */
@@ -169,5 +183,15 @@ object Ranking {
       |  doc_id, bm25, cosine, hybrid
       |FROM (SELECT * FROM reranked ORDER BY hybrid DESC, doc_id ASC LIMIT 10) t""".stripMargin))
 
-  val all: Seq[Q] = Seq(q84Bm25, q101HybridRetrieval)
+  /** q104 — textbook-idf BM25 ranking (`bm25_ln`), the canonical scoring a
+    * reference user expects next to q84's bit-portable rational twin. Same
+    * distributed rank, same plan; only the per-term idf differs (see
+    * `bm25ScoredIdf` for why this one is rows-only checked). */
+  val q104Bm25Ln: Q = Q(
+    "q104_bm25_ln",
+    (s, dir) => Ranks.withGlobalOrder(bm25ScoredIdf(s, dir, lnIdf = true),
+      Seq(col("bm25_ln").desc, col("doc_id").asc), "rank"),
+    None)
+
+  val all: Seq[Q] = Seq(q84Bm25, q101HybridRetrieval, q104Bm25Ln)
 }

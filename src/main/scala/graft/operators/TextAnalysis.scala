@@ -500,7 +500,17 @@ object TextAnalysis {
   /** PII detection patterns — deliberately restricted to constructs with
     * identical semantics in Java regex (Spark) and RE2 (DuckDB oracle):
     * character classes, bounded repetition, ASCII `\b`. No backrefs or
-    * lookaround (RE2 has neither). */
+    * lookaround (RE2 has neither).
+    *
+    * Known PAN coarseness: without digit-boundary lookarounds
+    * (`(?<!\d)\d{13,19}(?!\d)` — Java-legal, RE2-impossible) a ≥20-digit
+    * run redacts as a 19-digit match plus an unredacted tail, and 13–19
+    * digit SUBstrings of longer numeric tokens (ids, hashes) over-redact.
+    * `\b` cannot express "not adjacent to a digit" (digits are word chars,
+    * so it would instead FORBID matches flush against letters). For a
+    * compliance pass this errs toward over-redaction — the safe direction;
+    * a Java-only deployment can swap in the lookaround form without
+    * touching the plan. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val PanRe = "\\d{13,19}"

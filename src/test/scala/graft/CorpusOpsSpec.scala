@@ -27,6 +27,40 @@ class CorpusOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q104: textbook-ln BM25 matches an independently computed reference") {
+    // q104 has no DuckDB oracle (ln is not bitwise-portable across engines)
+    // — pin it here against a from-scratch Scala computation instead.
+    val out = Ranking.q104Bm25Ln.run(spark, dir).cache()
+    val docs = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val terms = Seq("query", "scan", "vector")
+    val ws = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }.toMap
+    val n = docs.length.toDouble
+    val avgdl = ws.valuesIterator.map(_.length).sum / n
+    val dfs = terms.map(t => ws.valuesIterator.count(_.contains(t)).toDouble)
+    def score(id: Long): Double = {
+      val w = ws(id); val dl = w.length.toDouble
+      terms.zip(dfs).map { case (t, df) =>
+        val tf = w.count(_ == t).toDouble
+        val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+      }.sum
+    }
+    val got = out.select(col("doc_id"), col("bm25_ln")).as[(Long, Double)].collect()
+    assert(got.length == docs.length)
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - score(id)) <= 1e-9 * math.max(1.0, math.abs(s)),
+        s"doc $id: got $s expected ${score(id)}")
+    }
+    // rank is the contiguous permutation of (bm25_ln desc, doc_id asc)
+    val ranks = out.select(col("rank"), col("bm25_ln"), col("doc_id"))
+      .as[(Long, Double, Long)].collect().sortBy(_._1)
+    assert(ranks.map(_._1).toSeq == (1L to docs.length.toLong))
+    assert(ranks.map(r => (-r._2, r._3)).toSeq ==
+      ranks.map(r => (-r._2, r._3)).sortBy(identity).toSeq)
+    out.unpersist()
+  }
+
   test("q101: blend arithmetic holds and ranks are a contiguous 1..10") {
     val out = Ranking.q101HybridRetrieval.run(spark, dir).cache()
     val rows = out.select(col("rank"), col("bm25"), col("cosine"), col("hybrid"))

@@ -68,6 +68,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeRaster("plain text payload".getBytes).isEmpty)
   }
 
+  test("corrupt raster payloads with valid magic fall back instead of crashing the task") {
+    // a real PNG truncated mid-stream: magic sniff passes, ImageIO throws —
+    // decodeRaster must return None (→ fakeDecode), like truncated netpbm
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val truncated = bos.toByteArray.take(bos.size() / 2)
+    assert(Multimodal.decodeRaster(truncated).isEmpty)
+    // and a pure garbage body behind a PNG signature
+    val garbage = Array[Byte](0x89.toByte, 'P', 'N', 'G') ++ Array.fill(64)(0x41.toByte)
+    assert(Multimodal.decodeRaster(garbage).isEmpty)
+    // end-to-end: the kernel lands on the deterministic fake, not an exception
+    val feats = Multimodal.decodeFeatures(spark,
+      Seq((9L, truncated, 11L)).toDF("doc_id", "data", "n_chars")).collect()
+    assert(feats.length == 1)
+    assert(feats(0).width == 64 + 11 % 512) // fakeDecode's metadata-derived dims
+  }
+
   test("truncated or high-maxval netpbm payloads fall back to the stub") {
     val truncated = ppm(4, 2, 0).dropRight(5)
     val wide = "P5\n2 2\n65535\n".getBytes("US-ASCII") ++ Array.fill(8)(0.toByte)
