@@ -24,7 +24,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // per-family subtotals (registry module grain): regressions attributable
+    // at a glance once the query count is three digits
+    val famOf = SparkEntry.families
+    val fams = results.groupBy { case (k, _) => famOf.getOrElse(k, "other") }
+      .toSeq.sortBy(_._1)
+      .map { case (f, rs) => s"\"" + f + "\":" + rs.map(_._2).sum }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$fams,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

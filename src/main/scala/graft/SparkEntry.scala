@@ -10,19 +10,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  private def registry: Seq[Q] =
-    operators.CoreQueries.all ++
-    streaming.Events.all ++
-    operators.TextAnalysis.all ++
-    operators.Dedup.all ++
-    operators.Ranking.all ++
-    operators.Curation.all ++
-    operators.Graph.all ++
-    operators.Cdc.all ++
-    operators.Learn.all ++
-    operators.Sketches.all ++
-    operators.SimilaritySearch.all ++
-    operators.Multimodal.all
+  /** Operator families — the registry grouped by source module, so bench
+    * artifacts can attribute time at a glance (BENCH families key). */
+  private def modules: Seq[(String, Seq[Q])] = Seq(
+    "core"       -> operators.CoreQueries.all,
+    "streaming"  -> streaming.Events.all,
+    "text"       -> operators.TextAnalysis.all,
+    "dedup"      -> operators.Dedup.all,
+    "ranking"    -> operators.Ranking.all,
+    "curation"   -> operators.Curation.all,
+    "graph"      -> operators.Graph.all,
+    "cdc"        -> operators.Cdc.all,
+    "learn"      -> operators.Learn.all,
+    "sketches"   -> operators.Sketches.all,
+    "ann"        -> operators.SimilaritySearch.all,
+    "multimodal" -> operators.Multimodal.all)
+
+  private def registry: Seq[Q] = modules.flatMap(_._2)
+
+  /** query name → family, for bench reporting. */
+  def families: Map[String, String] =
+    modules.flatMap { case (f, qs) => qs.map(_.name -> f) }.toMap
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -622,6 +622,61 @@ object SimilaritySearch {
       |  sqrt(CAST(norm2_scaled AS DOUBLE)) / 1048576.0 AS l2_norm
       |FROM agg""".stripMargin))
 
+  /** SemDeDup prune against an arbitrary centroid model — the shared core
+    * of q85 (literal k=4 anchor) and `semdedupTrained` (the production
+    * composition): map-side nearest-centroid assignment, cid-bucketed
+    * lower-id pair join, per-vector MAX cosine, prune at `tau`. Greedy
+    * keep-first: the survivor set is order-deterministic (lowest vec_id in
+    * any ≥-tau chain survives). */
+  def semdedupWith(s: org.apache.spark.sql.SparkSession, dir: String,
+      centroids: Seq[Array[Double]], tau: Double): org.apache.spark.sql.DataFrame = {
+    val e = embWithNorm(s, dir)
+    val scores = centroids.zipWithIndex.map { case (c, i) =>
+      val cc = c.map(v => v * v).sum
+      (lit(cc) - lit(2.0) * Similarity.dot(col("emb"), typedLit(c))).as(s"s$i")
+    }
+    val assigned = e.select((col("vec_id") +: col("emb") +: col("nrm") +: scores): _*)
+      .withColumn("cid", nearestCid(centroids.length).cast("long"))
+      .select(col("vec_id"), col("cid"), col("emb"), col("nrm"))
+    val a = assigned.toDF("vec_a", "cid", "emb_a", "nrm_a")
+    val b = assigned.toDF("vec_b", "cid_b", "emb_b", "nrm_b")
+    val pairMax = a.join(b, col("cid") === col("cid_b") && col("vec_a") < col("vec_b"))
+      .withColumn("cosine", Similarity.cosinePre(
+        Similarity.dot(col("emb_a"), col("emb_b")), col("nrm_a"), col("nrm_b")))
+      .groupBy(col("vec_b"))
+      .agg(max(col("cosine")).as("max_cos_lower"))
+      .withColumnRenamed("vec_b", "vec_id")
+    assigned.select(col("vec_id"), col("cid"))
+      .join(pairMax, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("max_cos_lower"),
+        coalesce(col("max_cos_lower") >= lit(tau), lit(false)).as("pruned"))
+  }
+
+  /** End-to-end TRAINED SemDeDup — the composition a real run uses
+    * (VERDICT r6 item 6): train k ≈ √N coarse centroids with
+    * `kmeansIterateOn` (init = the k lowest-vec_id embeddings —
+    * deterministic, no RNG), then prune with the trained model via
+    * `semdedupWith`. k ∝ √N keeps expected within-cluster pair count
+    * near-linear in N — the method's point. Only k×d centroid doubles ever
+    * reach the driver (model state); the corpus stays distributed.
+    *
+    * Scale note: centroids are embedded as plan literals (one score column
+    * per centroid), fine into the hundreds of clusters this takes at test
+    * SF; at k ≫ 10³ the assignment step should instead posexplode against
+    * a broadcast centroid TABLE and argmin via min-struct — same q37 IVF
+    * probe shape, no plan-width growth. `SimilaritySpec` pins survivor-set
+    * determinism at two corpus sizes. */
+  def semdedupTrained(s: org.apache.spark.sql.SparkSession, dir: String,
+      iters: Int = 3, tau: Double = 0.3): org.apache.spark.sql.DataFrame = {
+    val e = embWithNorm(s, dir)
+    val n = e.count()
+    val k = math.max(2, math.round(math.sqrt(n.toDouble)).toInt)
+    val init = e.orderBy(col("vec_id")).limit(k)
+      .select(col("emb")).collect().map(_.getSeq[Double](0).toArray).toSeq
+    val (centroids, _) = kmeansIterateOn(e.select(col("emb")), iters, init)
+    semdedupWith(s, dir, centroids, tau)
+  }
+
   /** q85 — SemDeDup (semantic dedup, Abbas et al. 2023 shape): assign every
     * embedding to its nearest coarse centroid, then prune any vector whose
     * cosine to a LOWER-id vector in the SAME cluster is ≥ τ (greedy
@@ -630,35 +685,14 @@ object SimilaritySearch {
     * with k ∝ √N clusters the intra-cluster pair count stays near-linear
     * while brute-force all-pairs (q34) is quadratic. k=4 literal centroids
     * here (q62's init, shared verbatim with the oracle) keep the query fully
-    * hash-checkable; a real run first trains the centroids with
-    * `kmeansIterate` and re-runs this with the trained literals — the plan
+    * hash-checkable; the production composition is `semdedupTrained`
+    * (k ≈ √N Lloyd-trained centroids → same prune) — the plan
     * shape (map-side assign → cid-bucketed self-join → per-vec MAX) is
     * unchanged. MAX over doubles is order-insensitive (no rounding), so the
     * whole result is bitwise-portable. */
   val q85SemDedup: Q = Q(
     "q85_semdedup",
-    (s, dir) => {
-      val e = embWithNorm(s, dir)
-      val scores = kmeansInit.zipWithIndex.map { case (c, i) =>
-        val cc = c.map(v => v * v).sum
-        (lit(cc) - lit(2.0) * Similarity.dot(col("emb"), typedLit(c))).as(s"s$i")
-      }
-      val assigned = e.select((col("vec_id") +: col("emb") +: col("nrm") +: scores): _*)
-        .withColumn("cid", nearestCid(kmeansInit.length).cast("long"))
-        .select(col("vec_id"), col("cid"), col("emb"), col("nrm"))
-      val a = assigned.toDF("vec_a", "cid", "emb_a", "nrm_a")
-      val b = assigned.toDF("vec_b", "cid_b", "emb_b", "nrm_b")
-      val pairMax = a.join(b, col("cid") === col("cid_b") && col("vec_a") < col("vec_b"))
-        .withColumn("cosine", Similarity.cosinePre(
-          Similarity.dot(col("emb_a"), col("emb_b")), col("nrm_a"), col("nrm_b")))
-        .groupBy(col("vec_b"))
-        .agg(max(col("cosine")).as("max_cos_lower"))
-        .withColumnRenamed("vec_b", "vec_id")
-      assigned.select(col("vec_id"), col("cid"))
-        .join(pairMax, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cid"), col("max_cos_lower"),
-          coalesce(col("max_cos_lower") >= lit(0.3), lit(false)).as("pruned"))
-    },
+    (s, dir) => semdedupWith(s, dir, kmeansInit, tau = 0.3),
     Some {
       val scoreDefs = kmeansInit.zipWithIndex.map { case (c, i) =>
         val cc = c.map(v => v * v).sum

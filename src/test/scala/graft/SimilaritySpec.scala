@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.Similarity
+import graft.operators.SimilaritySearch
 
 class SimilaritySpec extends AnyFunSuite {
   private val spark = TestSpark.spark
@@ -163,6 +164,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(trained.length == SimilaritySearch.PqM &&
       trained.forall(_.length == SimilaritySearch.PqK) &&
       trained.forall(_.forall(_.length == SimilaritySearch.PqSub)))
+  }
+
+  test("trained SemDeDup end-to-end: survivor set is deterministic at two corpus sizes") {
+    // the full composition (k≈√N Lloyd training → prune) must reproduce its
+    // survivor set exactly on a re-run — no RNG, no partition-order leaks —
+    // at both test corpus sizes (500 and 5000 vectors)
+    for (dir <- Seq(TestSpark.sf0001, "/root/testdata/sf0.01")) {
+      def survivors() = SimilaritySearch.semdedupTrained(spark, dir, iters = 2)
+        .filter(!col("pruned")).select(col("vec_id"))
+        .as[Long].collect().sorted.toSeq
+      val s1 = survivors()
+      val s2 = survivors()
+      assert(s1 == s2, s"nondeterministic survivor set at $dir")
+      assert(s1.nonEmpty)
+      val out = SimilaritySearch.semdedupTrained(spark, dir, iters = 2).cache()
+      // lowest vec_id of every cluster has no lower-id partner → survives
+      val mins = out.groupBy(col("cid")).agg(min(col("vec_id")).as("vmin"))
+      assert(out.join(mins, out("cid") === mins("cid") &&
+        col("vec_id") === col("vmin"))
+        .filter(col("max_cos_lower").isNotNull || col("pruned")).count() == 0)
+      // trained k ≈ √N: the model actually spreads assignments beyond q85's 4
+      assert(out.select(countDistinct(col("cid"))).as[Long].head() > 4,
+        s"trained model collapsed at $dir")
+      out.unpersist()
+    }
   }
 
   test("optimizer rule rewrites the HOF dot pattern to the native expression, bit-exact") {

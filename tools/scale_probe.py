@@ -5,7 +5,10 @@ Replicates sf0.1 documents 8x with disjoint doc_id ranges; replicas k>0
 have every 3rd word replaced by a replica tag, which zeroes cross-replica
 3-gram Jaccard (every 3-gram window contains a replaced position), so the
 near-dup structure scales linearly instead of exploding combinatorially.
-Fact tables are symlinked from sf0.1.
+Embeddings are replicated 8x on the SAME disjoint id scheme (values
+unchanged — id-aligned with the document replicas, so q101's
+candidate→embedding join resolves for every replica). Fact tables are
+symlinked from sf0.1.
 
 Usage:
   python3 tools/scale_probe.py [outdir=/tmp/sfbig]
@@ -26,8 +29,8 @@ REPLICAS = 8
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfbig"
     os.makedirs(out, exist_ok=True)
-    for t in ("region nation customer supplier part orders lineitem "
-              "events embeddings").split():
+    for t in ("region nation customer supplier part orders "
+              "lineitem events").split():
         dst = os.path.join(out, f"{t}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(SRC, f"{t}.parquet"), dst)
@@ -45,6 +48,16 @@ def main() -> None:
     pq.write_table(pa.Table.from_pandas(big, preserve_index=False),
                    os.path.join(out, "documents.parquet"))
     print(f"{len(big)} docs -> {out}/documents.parquet")
+    emb = pq.read_table(os.path.join(SRC, "embeddings.parquet")).to_pandas()
+    eparts = []
+    for k in range(REPLICAS):
+        e = emb.copy()
+        e["vec_id"] = e["vec_id"] + k * 1_000_000
+        eparts.append(e)
+    bige = pd.concat(eparts, ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(bige, preserve_index=False),
+                   os.path.join(out, "embeddings.parquet"))
+    print(f"{len(bige)} vecs -> {out}/embeddings.parquet")
 
 
 if __name__ == "__main__":
