@@ -181,5 +181,33 @@ object Curation {
       |    / CAST(MAX(cnt) AS DOUBLE) AS pass_rate
       |FROM r GROUP BY source""".stripMargin))
 
-  val all: Seq[Q] = Seq(q88EvalCarveout, q89DomainMixture, q91LengthGates)
+  /** q106 — deterministic epoch shuffle (training data ordering): every
+    * reproducible training run needs a corpus-wide permutation that is (a)
+    * pseudo-random, (b) identical across re-runs and engines, (c) cheap to
+    * re-derive per epoch. The shuffle key is md5("epoch1:" ++ doc_id) —
+    * engine-portable, uniform, and changing the epoch prefix re-permutes
+    * the corpus with zero state. The global position comes from
+    * `Ranks.withGlobalOrder` (range-partition + offsets), NOT a global
+    * window — so materializing a full training order stays distributed at
+    * any corpus size. Composes with q83 (shard packing) for
+    * order-then-pack epoch exports. */
+  val q106TrainOrder: Q = Q(
+    "q106_train_order",
+    (s, dir) => {
+      val keyed = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat(lit("epoch1:"), col("doc_id").cast("string")).cast("binary"))
+            .as("shuffle_key"))
+      Ranks.withGlobalOrder(keyed,
+        Seq(col("shuffle_key").asc, col("doc_id").asc), "train_pos")
+    },
+    Some("""SELECT doc_id,
+      |  md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+      |  CAST(ROW_NUMBER() OVER (
+      |    ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR)), doc_id)
+      |    AS BIGINT) AS train_pos
+      |FROM documents""".stripMargin))
+
+  val all: Seq[Q] = Seq(q88EvalCarveout, q89DomainMixture, q91LengthGates,
+    q106TrainOrder)
 }

@@ -20,7 +20,7 @@ object SimilaritySearch {
 
   /** Embeddings with the double-array projection and precomputed norm — the
     * shared prelude of every ANN query (unused columns prune away). */
-  private def embWithNorm(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[graft] def embWithNorm(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), Similarity.toDoubleArray(col("embedding")).as("emb"))
       .withColumn("nrm", Similarity.norm(col("emb")))
@@ -629,15 +629,54 @@ object SimilaritySearch {
     * keep-first: the survivor set is order-deterministic (lowest vec_id in
     * any ≥-tau chain survives). */
   def semdedupWith(s: org.apache.spark.sql.SparkSession, dir: String,
-      centroids: Seq[Array[Double]], tau: Double): org.apache.spark.sql.DataFrame = {
-    val e = embWithNorm(s, dir)
+      centroids: Seq[Array[Double]], tau: Double): org.apache.spark.sql.DataFrame =
+    semdedupPrune(assignLiteral(embWithNorm(s, dir), centroids), tau)
+
+  /** Nearest-centroid assignment with centroids as PLAN LITERALS (one score
+    * column per centroid) — zero extra shuffle, ideal for small k, but plan
+    * width grows with k. Ties break to the lowest cid. */
+  private[graft] def assignLiteral(e: org.apache.spark.sql.DataFrame,
+      centroids: Seq[Array[Double]]): org.apache.spark.sql.DataFrame = {
     val scores = centroids.zipWithIndex.map { case (c, i) =>
       val cc = c.map(v => v * v).sum
       (lit(cc) - lit(2.0) * Similarity.dot(col("emb"), typedLit(c))).as(s"s$i")
     }
-    val assigned = e.select((col("vec_id") +: col("emb") +: col("nrm") +: scores): _*)
+    e.select((col("vec_id") +: col("emb") +: col("nrm") +: scores): _*)
       .withColumn("cid", nearestCid(centroids.length).cast("long"))
       .select(col("vec_id"), col("cid"), col("emb"), col("nrm"))
+  }
+
+  /** Nearest-centroid assignment against a BROADCAST centroid TABLE — the
+    * large-k path (k ≫ plan-literal width, e.g. √N̅ clusters on a real
+    * corpus): one (vector × centroid) broadcast join, per-vector
+    * min-struct argmin (lowest distance, then lowest cid — the exact tie
+    * order of `nearestCid`, over identically-computed distances), then one
+    * equi-join to re-attach the vector payload. Plan size is O(1) in k;
+    * the k×d model rides the broadcast. `SimilaritySpec` pins bit-equality
+    * of the two assignment paths. */
+  private[graft] def assignByTable(s: org.apache.spark.sql.SparkSession,
+      e: org.apache.spark.sql.DataFrame,
+      centroids: Seq[Array[Double]]): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val cdf = centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c, c.map(v => v * v).sum) }
+      .toDF("c_cid", "c_vec", "c_cc")
+    val best = e.select(col("vec_id"), col("emb"))
+      .crossJoin(broadcast(cdf))
+      .withColumn("dist",
+        col("c_cc") - lit(2.0) * Similarity.dot(col("emb"), col("c_vec")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("c_cid"))).as("m"))
+      .select(col("vec_id"), col("m.c_cid").as("cid"))
+    e.join(best, "vec_id")
+      .select(col("vec_id"), col("cid"), col("emb"), col("nrm"))
+  }
+
+  /** The prune half of SemDeDup over an assigned (vec_id, cid, emb, nrm)
+    * relation: cid-bucketed lower-id pair join → per-vector MAX cosine →
+    * prune at `tau`. */
+  private def semdedupPrune(assigned: org.apache.spark.sql.DataFrame,
+      tau: Double): org.apache.spark.sql.DataFrame = {
     val a = assigned.toDF("vec_a", "cid", "emb_a", "nrm_a")
     val b = assigned.toDF("vec_b", "cid_b", "emb_b", "nrm_b")
     val pairMax = a.join(b, col("cid") === col("cid_b") && col("vec_a") < col("vec_b"))
@@ -655,16 +694,15 @@ object SimilaritySearch {
   /** End-to-end TRAINED SemDeDup — the composition a real run uses
     * (VERDICT r6 item 6): train k ≈ √N coarse centroids with
     * `kmeansIterateOn` (init = the k lowest-vec_id embeddings —
-    * deterministic, no RNG), then prune with the trained model via
-    * `semdedupWith`. k ∝ √N keeps expected within-cluster pair count
-    * near-linear in N — the method's point. Only k×d centroid doubles ever
-    * reach the driver (model state); the corpus stays distributed.
+    * deterministic, no RNG), then prune with the trained model. k ∝ √N
+    * keeps expected within-cluster pair count near-linear in N — the
+    * method's point. Only k×d centroid doubles ever reach the driver
+    * (model state); the corpus stays distributed.
     *
-    * Scale note: centroids are embedded as plan literals (one score column
-    * per centroid), fine into the hundreds of clusters this takes at test
-    * SF; at k ≫ 10³ the assignment step should instead posexplode against
-    * a broadcast centroid TABLE and argmin via min-struct — same q37 IVF
-    * probe shape, no plan-width growth. `SimilaritySpec` pins survivor-set
+    * Assignment picks its physical shape by k: plan-literal score columns
+    * up to k=64 (zero shuffle), the broadcast centroid-table argmin above
+    * (plan size O(1) in k — real √N̅ cluster counts). The two paths are
+    * bit-identical (`SimilaritySpec`), which also pins survivor-set
     * determinism at two corpus sizes. */
   def semdedupTrained(s: org.apache.spark.sql.SparkSession, dir: String,
       iters: Int = 3, tau: Double = 0.3): org.apache.spark.sql.DataFrame = {
@@ -674,7 +712,10 @@ object SimilaritySearch {
     val init = e.orderBy(col("vec_id")).limit(k)
       .select(col("emb")).collect().map(_.getSeq[Double](0).toArray).toSeq
     val (centroids, _) = kmeansIterateOn(e.select(col("emb")), iters, init)
-    semdedupWith(s, dir, centroids, tau)
+    val assigned =
+      if (centroids.length <= 64) assignLiteral(e, centroids)
+      else assignByTable(s, e, centroids)
+    semdedupPrune(assigned, tau)
   }
 
   /** q85 — SemDeDup (semantic dedup, Abbas et al. 2023 shape): assign every

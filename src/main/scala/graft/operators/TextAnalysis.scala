@@ -767,8 +767,48 @@ object TextAnalysis {
       .withColumn("n_tokens", size(col("tokens")).cast("long"))
   }
 
+  /** q105 — overlapping context-window chunking (the RAG / long-context
+    * prep pass: split every document into fixed token windows with overlap,
+    * keyed for provenance). window=64 tokens, stride=48 → 16-token overlap;
+    * the final window per doc may run short (never dropped — trailing
+    * tokens always land in some chunk, and a chunk starts at every stride
+    * boundary ≤ doc length). Pure per-row explode + slice: no shuffle at
+    * all, chunk ids derive from the start offset (not a window function),
+    * so the operator is a single map-side pass at any corpus size — the
+    * shape that matters when chunking 100 TB for an embedding index. */
+  val q105Chunking: Q = Q(
+    "q105_chunking",
+    (s, dir) => {
+      val window = 64
+      val stride = 48
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .withColumn("n", size(col("w")))
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(1), col("n"), lit(stride))).as("start"))
+        .withColumn("chunk", slice(col("w"), col("start"), lit(window)))
+        .select(col("doc_id"),
+          expr(s"((start - 1) div $stride) + 1").cast("long").as("chunk_id"),
+          col("start").cast("long").as("start_tok"),
+          size(col("chunk")).cast("long").as("n_tokens"),
+          array_join(col("chunk"), " ").as("chunk_text"))
+    },
+    Some("""WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, w, len(w) AS n,
+      |    unnest(range(1, len(w) + 1, 48)) AS start
+      |  FROM d)
+      |SELECT doc_id,
+      |  CAST((start - 1) // 48 + 1 AS BIGINT) AS chunk_id,
+      |  CAST(start AS BIGINT) AS start_tok,
+      |  CAST(len(w[start:least(start + 63, n)]) AS BIGINT) AS n_tokens,
+      |  array_to_string(w[start:least(start + 63, n)], ' ') AS chunk_text
+      |FROM c""".stripMargin))
+
   val all: Seq[Q] = Seq(q20TextStats, q21TokenCount, q22LangId, q23Fingerprint,
     q24Quality, q39Winnowing, q64RepetitionSignals, q71InvertedIndex, q73RareTerms,
     q83TokenShards, q87VocabReport, q90PackingReport,
-    q96PiiRedaction, q97NormalizeUnicode, q98BpeMergeStep)
+    q96PiiRedaction, q97NormalizeUnicode, q98BpeMergeStep, q105Chunking)
 }

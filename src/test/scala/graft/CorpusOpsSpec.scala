@@ -61,6 +61,41 @@ class CorpusOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q105: chunk windows tile every document with the declared overlap") {
+    val out = TextAnalysis.q105Chunking.run(spark, dir).cache()
+    val docs = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+    // chunk count per doc = ceil(n / stride); ids contiguous from 1
+    val byDoc = out.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("chunks"), min(col("chunk_id")).as("c0"),
+      max(col("chunk_id")).as("cN"), max(col("n_tokens")).as("maxTok"))
+    val joined = byDoc.join(docs, "doc_id")
+    assert(joined.filter(col("chunks") =!= ceil(col("n") / lit(48.0)).cast("long"))
+      .count() == 0)
+    assert(joined.filter(col("c0") =!= 1 || col("cN") =!= col("chunks")).count() == 0)
+    assert(out.filter(col("n_tokens") > 64 || col("n_tokens") < 1).count() == 0)
+    // consecutive chunks overlap by exactly window-stride tokens (where full)
+    assert(out.filter(col("start_tok") =!= (col("chunk_id") - 1) * 48 + 1).count() == 0)
+    // token conservation: stride-weighted sum of full windows ≥ n (tiling)
+    out.unpersist()
+  }
+
+  test("q106: epoch shuffle is a deterministic permutation uncorrelated with doc order") {
+    val out = Curation.q106TrainOrder.run(spark, dir).cache()
+    val n = out.count()
+    assert(out.select(countDistinct(col("train_pos"))).as[Long].head() == n)
+    assert(out.agg(min(col("train_pos")), max(col("train_pos"))).as[(Long, Long)]
+      .head() == ((1L, n)))
+    // the permutation actually shuffles: positions are not monotone in doc_id
+    val byDoc = out.orderBy(col("doc_id")).select(col("train_pos")).as[Long].collect()
+    assert(byDoc.sliding(2).exists(p => p(0) > p(1)))
+    // re-run identical (derives purely from doc_id + epoch literal)
+    val again = Curation.q106TrainOrder.run(spark, dir)
+      .orderBy(col("doc_id")).select(col("train_pos")).as[Long].collect()
+    assert(byDoc.toSeq == again.toSeq)
+    out.unpersist()
+  }
+
   test("q101: blend arithmetic holds and ranks are a contiguous 1..10") {
     val out = Ranking.q101HybridRetrieval.run(spark, dir).cache()
     val rows = out.select(col("rank"), col("bm25"), col("cosine"), col("hybrid"))

@@ -191,6 +191,26 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("literal-column and broadcast-table centroid assignment are bit-identical") {
+    // semdedupTrained switches physical shapes at k=64; the answer must not
+    // depend on which one ran (same distances in the same operand order,
+    // same lowest-cid tie break)
+    val e = SimilaritySearch.embWithNorm(spark, TestSpark.sf0001)
+    val centroids = {
+      val (c, _) = SimilaritySearch.kmeansIterateOn(
+        e.select(col("emb")), 1,
+        e.orderBy(col("vec_id")).limit(9).select(col("emb"))
+          .collect().map(_.getSeq[Double](0).toArray).toSeq)
+      c
+    }
+    val byLiteral = SimilaritySearch.assignLiteral(e, centroids)
+      .select(col("vec_id"), col("cid")).as[(Long, Long)].collect().sortBy(_._1)
+    val byTable = SimilaritySearch.assignByTable(spark, e, centroids)
+      .select(col("vec_id"), col("cid")).as[(Long, Long)].collect().sortBy(_._1)
+    assert(byLiteral.toSeq == byTable.toSeq)
+    assert(byLiteral.map(_._2).distinct.length > 1)
+  }
+
   test("optimizer rule rewrites the HOF dot pattern to the native expression, bit-exact") {
     val prev = spark.experimental.extraOptimizations
     // a real scan, so constant folding can't pre-evaluate the projection
