@@ -208,6 +208,48 @@ object Curation {
       |    AS BIGINT) AS train_pos
       |FROM documents""".stripMargin))
 
+  /** q107 — epoch-shuffled shard packing: the composition an actual
+    * training-data export runs per epoch — permute the corpus with the
+    * q106 epoch key, then pack documents into fixed token-budget shards IN
+    * SHUFFLED ORDER (so each shard is an unbiased sample, not a doc_id
+    * range). Both the position and the running token total come out of ONE
+    * `Ranks.withGlobalOrder` pass (rank + running sum share the same range
+    * partitioning), so the whole operator is: map-side key+count → one
+    * range shuffle → offsets broadcast. A shard is where a doc's FIRST
+    * token lands (q83's convention). Changing the epoch literal re-deals
+    * every shard with zero state. */
+  val q107EpochShards: Q = Q(
+    "q107_epoch_shards",
+    (s, dir) => {
+      val budget = 2000L
+      val keyed = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat(lit("epoch1:"), col("doc_id").cast("string")).cast("binary"))
+            .as("shuffle_key"),
+          size(TextAnalysis.words(col("text"))).cast("long").as("tokens"))
+      Ranks.withGlobalOrder(keyed,
+          Seq(col("shuffle_key").asc, col("doc_id").asc), "train_pos",
+          running = Seq((col("tokens"), "cum_tokens")))
+        .withColumn("shard_id", expr(s"(cum_tokens - tokens) div $budget"))
+        .select(col("doc_id"), col("shuffle_key"), col("tokens"),
+          col("train_pos"), col("cum_tokens"), col("shard_id"))
+    },
+    Some("""WITH keyed AS (
+      |  SELECT doc_id,
+      |    md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens
+      |  FROM documents),
+      |ordered AS (
+      |  SELECT doc_id, shuffle_key, tokens,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+      |      AS train_pos,
+      |    CAST(SUM(tokens) OVER (ORDER BY shuffle_key, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      |  FROM keyed)
+      |SELECT doc_id, shuffle_key, tokens, train_pos, cum_tokens,
+      |  (cum_tokens - tokens) // 2000 AS shard_id
+      |FROM ordered""".stripMargin))
+
   val all: Seq[Q] = Seq(q88EvalCarveout, q89DomainMixture, q91LengthGates,
-    q106TrainOrder)
+    q106TrainOrder, q107EpochShards)
 }

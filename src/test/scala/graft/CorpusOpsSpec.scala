@@ -96,6 +96,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q107: shuffled packing conserves token mass and fills all but the last shard") {
+    val out = Curation.q107EpochShards.run(spark, dir).cache()
+    // cum_tokens over train_pos order is the exact prefix sum
+    val rows = out.select(col("train_pos"), col("tokens"), col("cum_tokens"),
+      col("shard_id")).as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    var run = 0L
+    rows.foreach { case (_, t, c, _) => run += t; assert(c == run) }
+    // shards are contiguous from 0; every shard except the last crosses the
+    // budget once its first token lands before the boundary
+    val shards = rows.map(_._4)
+    assert(shards.head == 0L)
+    assert(shards.toSeq == shards.sorted.toSeq) // monotone in train order
+    val lastShard = shards.max
+    val perShard = rows.groupBy(_._4).view.mapValues(_.map(_._2).sum)
+    perShard.filter(_._1 != lastShard).foreach { case (sid, tot) =>
+      assert(tot >= 2000L - rows.map(_._2).max, s"underfilled shard $sid: $tot")
+    }
+    // the shard deal matches q106's order (same epoch key)
+    val order = Curation.q106TrainOrder.run(spark, dir)
+      .select(col("doc_id"), col("train_pos")).as[(Long, Long)].collect().toMap
+    out.select(col("doc_id"), col("train_pos")).as[(Long, Long)].collect()
+      .foreach { case (d, p) => assert(order(d) == p) }
+    out.unpersist()
+  }
+
   test("q101: blend arithmetic holds and ranks are a contiguous 1..10") {
     val out = Ranking.q101HybridRetrieval.run(spark, dir).cache()
     val rows = out.select(col("rank"), col("bm25"), col("cosine"), col("hybrid"))
