@@ -268,4 +268,16 @@ object OlistPipeline {
       spark.read.parquet(s"$lakeDir/dim_locations.parquet"))
     Tables.overwrite(master, s"$lakeDir/master_table.parquet")
   }
+
+  /** Serving publish — the reference's LAST mile (main.py:55-62 writes every
+    * table to Postgres with batched multi-row INSERTs): push the built lake
+    * tables to a JDBC serving database via `Tables.jdbcSink` (10k batches,
+    * overwrite = if_exists='replace'). Kept separate from `runPipeline` so
+    * the lake build never blocks on a serving DB being reachable; re-runs
+    * are idempotent on both layers. */
+  def publishServing(spark: SparkSession, lakeDir: String, url: String,
+      tables: Seq[String] = Seq("dim_locations", "master_table")): Unit =
+    tables.foreach { t =>
+      Tables.jdbcSink(spark.read.parquet(s"$lakeDir/$t.parquet"), url, t)
+    }
 }

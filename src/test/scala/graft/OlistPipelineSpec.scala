@@ -91,6 +91,19 @@ class OlistPipelineSpec extends AnyFunSuite {
     assert(df.count() == 3)
   }
 
+  test("serving publish lands the built tables in a JDBC database (main.py last mile)") {
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val url = "jdbc:derby:memory:olistserving;create=true"
+    OlistPipeline.publishServing(spark, lake, url)
+    val dimBack = graft.sources.Tables.jdbc(spark, url, "dim_locations")
+    val masterBack = graft.sources.Tables.jdbc(spark, url, "master_table")
+    assert(dimBack.count() == dim.count())
+    assert(masterBack.count() == master.count())
+    // publish is idempotent like if_exists='replace'
+    OlistPipeline.publishServing(spark, lake, url)
+    assert(graft.sources.Tables.jdbc(spark, url, "master_table").count() == master.count())
+  }
+
   test("pipeline re-run is idempotent (the reference's if_exists='replace' parity)") {
     val before = master.orderBy("order_id", "order_item_id").collect().map(_.toString).toSeq
     // second full run over the same lake dir must overwrite to identical state
