@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineEntry)
     ext.injectFunction(GraftExtensions.heavyHittersEntry)
     ext.injectFunction(GraftExtensions.normalizeEntry)
+    ext.injectFunction(GraftExtensions.countInArrayEntry)
     // HOF dot-product pattern → native codegen expression (bit-exact)
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofVectorOps)
     // physical planning for the custom TopKPerGroup logical operator
@@ -44,6 +45,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => HeavyHitters(args(0),
         args(1).eval(null).asInstanceOf[Number].intValue()).toAggregateExpression())
 
+  val countInArrayEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_count_in_array"),
+      info("graft_count_in_array",
+        "graft_count_in_array(arr, v) - count of elements equal to v in a string array"),
+      (args: Seq[Expression]) => CountInArray(args(0), args(1)))
+
   val normalizeEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_normalize"),
       info("graft_normalize",
@@ -55,7 +62,8 @@ object GraftExtensions {
     * (idempotent — used by the query builders). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(dotEntry, cosineEntry, heavyHittersEntry, normalizeEntry).foreach { case (id, inf, builder) =>
+    Seq(dotEntry, cosineEntry, heavyHittersEntry, normalizeEntry,
+      countInArrayEntry).foreach { case (id, inf, builder) =>
       reg.registerFunction(id, inf, builder)
     }
   }

@@ -33,12 +33,10 @@ object Ranking {
     * ONE-ROW stats relation that cross-broadcasts back onto the corpus, so
     * the whole scorer is a map-side pass over documents plus one tiny
     * aggregate — at 100 TB the stats row is the only global state, and the
-    * final rank window is the one global sort (drop it if only scores are
-    * needed; kept here because ranked output is the operator's point).
-    * Scale note: tf via `filter(w, …)` is a higher-order function
-    * (interpreted); for a hot 100 TB path the q21-style explode+agg shape or
-    * a native Expression is the swap-in — at a 3-term query set the
-    * per-row cost is negligible. */
+    * final rank is the two-level distributed rank (see q84 doc). Per-term
+    * tf runs on the compiled `CountInArray` expression (one codegen'd
+    * loop per term, no interpreted HOF, no intermediate array), so the
+    * whole scorer stays inside whole-stage codegen at any term count. */
   private def bm25Scored(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = bm25ScoredIdf(s, dir, lnIdf = false)
 
@@ -56,8 +54,11 @@ object Ranking {
       val wtf0 = Tables(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.words(col("text")).as("w"))
         .withColumn("dl", size(col("w")).cast("long"))
+      // compiled tf kernel (CountInArray) — no interpreted HOF in the
+      // corpus-scan hot path; counts are integers, so the double score
+      // composition (and the oracle hash) is unchanged
       val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
-        size(filter(col("w"), x => x === lit(t))).cast("long").as(s"tf$i")
+        TextAnalysis.countTerm(col("w"), t).as(s"tf$i")
       }
       val wtf = wtf0.select(col("doc_id") +: col("dl") +: tfCols: _*)
       val statCols = Seq(sum(col("dl")).as("sum_dl")) ++
@@ -116,12 +117,12 @@ object Ranking {
 
   /** q84 — BM25 document ranking (see object doc for the scoring notes).
     * The corpus-wide rank is the `Ranks.withGlobalOrder` two-level prefix
-    * sum — range-partitioned on (bm25 desc, doc_id), ranked within each
-    * partition in parallel, partition offsets from a tiny totals relation —
+    * sum — literal-bound bucketing on (bm25 desc, doc_id), ranked within
+    * each bucket in parallel, bucket offsets from a tiny totals relation —
     * NOT a global `Window.orderBy`, which would collapse the whole scored
     * corpus onto one partition (PlanAuditSpec forbids that shape
     * registry-wide). The (bm25, doc_id) composite key is unique, so the
-    * range sampler balances partitions even when one score value (e.g. the
+    * splitter sample balances buckets even when one score value (e.g. the
     * zero-match mass) dominates. */
   val q84Bm25: Q = Q(
     "q84_bm25",

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Distributed total-order ranking — the scale-safe replacement for the
   * classic `row_number().over(Window.orderBy(...))` anti-pattern, which
@@ -10,47 +11,76 @@ import org.apache.spark.sql.functions._
   * partition spec = single-executor sort + OOM at corpus scale).
   *
   * Shape (the generalized q83 two-level prefix sum):
-  *   1. `repartitionByRange` on the sort key — contiguous, ORDERED key
-  *      ranges, one per partition, balanced by the range sampler (the sort
-  *      key must be a total order, e.g. tie-broken by a unique id, so equal
-  *      prefixes still split across partitions).
-  *   2. rank / running sums WITHIN each partition id — a partitioned
-  *      window, parallel across the cluster.
-  *   3. per-partition totals reduce to a `numShufflePartitions`-row
-  *      relation; its prefix sums (one tiny window over driver-scale data)
-  *      are the offsets each partition adds back via a broadcast join.
+  *   1. Sample splitter keys ONCE at plan-construction time (deterministic
+  *      hash-mod thinning, no RNG) and embed them as plan literals; each
+  *      row's bucket id is "how many splitters sort before my key" — a pure
+  *      VALUE function of the row. This is the load-bearing choice: a
+  *      `repartitionByRange` + `spark_partition_id` formulation assigns ids
+  *      per physical EXECUTION, and the rank/offset branches below may
+  *      execute the exchange twice with independently-sampled bounds —
+  *      off-by-a-few ranks that only surface at larger inputs (caught by
+  *      the sf0.1 oracle sweep). Literal bounds make every consumer agree
+  *      by construction, and the answer is EXACT whatever bounds the
+  *      sample produced.
+  *   2. rank / running sums WITHIN each bucket — a partitioned window,
+  *      parallel across the cluster.
+  *   3. per-bucket totals reduce to a buckets-count-row relation; its
+  *      prefix sums (one tiny window over driver-scale data) are the
+  *      offsets each bucket adds back via a broadcast join.
   *
-  * The produced rank/running values are EXACT global results regardless of
-  * where the sampled range splits land, because step 3 uses the actual
-  * per-partition counts — the partitioning only controls parallelism, never
-  * the answer. Used by q84 (corpus-wide BM25 rank) and q87 (vocabulary
-  * report); PlanAuditSpec enforces registry-wide that no data-scale relation
-  * flows into an unpartitioned window.
+  * The sort key must be a TOTAL order (include a unique tiebreaker):
+  * splitters then cut tie groups too, so a single hot key value cannot
+  * collapse a bucket at scale. Used by q84/q104 (corpus-wide BM25 rank),
+  * q87 (vocabulary report), q106/q107 (epoch shuffle + packing);
+  * PlanAuditSpec enforces registry-wide that no data-scale relation flows
+  * into an unpartitioned window.
   */
 object Ranks {
 
   /** Append a global ROW_NUMBER column named `rankName` (LongType) ranked by
-    * `order` (which must be a total order — include a unique tiebreaker),
-    * plus an exact global running sum column `name` for each `(expr, name)`
-    * in `running`, all without any data-scale unpartitioned window. */
+    * `order` (asc/desc per column, total order required), plus an exact
+    * global running sum column `name` for each `(expr, name)` in `running`,
+    * all without any data-scale unpartitioned window.
+    *
+    * `sampleMod`: the splitter sample keeps rows whose key-hash ≡ 0 mod
+    * this; tune to ≈ N/(64·buckets) so the collected sample stays
+    * driver-sized at big N (any sample yields correct ranks — only balance
+    * varies; the cap below bounds the driver memory regardless). */
   def withGlobalOrder(df: DataFrame, order: Seq[Column], rankName: String,
-      running: Seq[(Column, String)] = Nil): DataFrame = {
+      running: Seq[(Column, String)] = Nil, sampleMod: Int = 101): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    // Range partitions are contiguous in `order`, so partition id ascending
-    // IS the global order at partition granularity.
-    val ranged = df.repartitionByRange(parts, order: _*)
-      .withColumn("__pid", spark_partition_id())
+    val buckets = parts * 4 // over-decompose: smooths hash collisions + skew
+    val split = order.map(Bridge.splitSortOrder)
+    val keyCols = split.map(_._1)
+    val asc = split.map(_._2)
+
+    // 1. deterministic splitter sample → literal bounds (driver model state)
+    val keyed = df.select(keyCols.zipWithIndex.map { case (c, i) => c.as(s"__k$i") }: _*)
+    val sample = keyed
+      .filter(pmod(xxhash64(keyed.columns.map(col): _*), lit(sampleMod)) === 0)
+      .limit(1 << 20)
+      .collect()
+    val ord = rowOrdering(asc)
+    val sorted = sample.sortWith((a, b) => ord.compare(a, b) < 0)
+    val bounds: Seq[Row] =
+      if (sorted.isEmpty) Nil
+      else (1 until buckets)
+        .map(i => sorted((i.toLong * sorted.length / buckets).toInt))
+        .distinct
+    val pid = bounds.foldLeft(lit(0)) { (acc, b) => acc + when(afterBound(keyCols, asc, b), 1).otherwise(0) }
+    val withPid = df.withColumn("__pid", pid)
+
+    // 2. within-bucket rank / running sums (partitioned window — parallel)
     val wIn = Window.partitionBy(col("__pid")).orderBy(order: _*)
     val cum = wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val within = running.foldLeft(
-      ranged.withColumn("__within", row_number().over(wIn).cast("long"))) {
+      withPid.withColumn("__within", row_number().over(wIn).cast("long"))) {
       case (d, (c, n)) => d.withColumn(s"__run_$n", sum(c).over(cum))
     }
-    // Offsets: totals of all STRICTLY EARLIER partitions. The window here is
-    // over a ≤`parts`-row relation (post-aggregate) — driver-scale by
-    // construction at any input size.
+
+    // 3. offsets = totals of all strictly-earlier buckets (≤`buckets` rows)
     val wOff = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
-    val totals = ranged.groupBy(col("__pid")).agg(
+    val totals = withPid.groupBy(col("__pid")).agg(
       count(lit(1)).as("__pcnt"),
       running.map { case (c, n) => sum(c).as(s"__ptot_$n") }: _*)
     val offsets = running.foldLeft(
@@ -66,5 +96,36 @@ object Ranks {
     }
     joined.drop("__pid" :: "__within" :: "__poff" ::
       running.toList.flatMap { case (_, n) => List(s"__run_$n", s"__off_$n") }: _*)
+  }
+
+  /** "Row's key sorts strictly AFTER the bound tuple" as a Column predicate
+    * — lexicographic over the key columns with per-column direction. Rows
+    * exactly equal to a bound stay in the earlier bucket. */
+  private def afterBound(keys: Seq[Column], asc: Seq[Boolean], b: Row): Column = {
+    val n = keys.length
+    def strictAfter(i: Int): Column =
+      if (asc(i)) keys(i) > lit(b.get(i)) else keys(i) < lit(b.get(i))
+    def from(i: Int): Column =
+      if (i == n - 1) strictAfter(i)
+      else strictAfter(i) || (keys(i) === lit(b.get(i)) && from(i + 1))
+    from(0)
+  }
+
+  /** Lexicographic Ordering over sample rows (null-free total-order keys:
+    * numerics, strings, timestamps), honoring per-column direction. */
+  private def rowOrdering(asc: Seq[Boolean]): Ordering[Row] = new Ordering[Row] {
+    override def compare(a: Row, b: Row): Int = {
+      var i = 0
+      while (i < asc.length) {
+        val c = (a.get(i), b.get(i)) match {
+          case (x: java.lang.Comparable[_], y) =>
+            x.asInstanceOf[java.lang.Comparable[Any]].compareTo(y)
+          case (x, y) => x.toString.compareTo(y.toString)
+        }
+        if (c != 0) return if (asc(i)) c else -c
+        i += 1
+      }
+      0
+    }
   }
 }

@@ -18,6 +18,14 @@ object TextAnalysis {
   /** Whitespace tokenization of trimmed text (shared by all text ops). */
   def words(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Compiled per-term occurrence count over a words array — identical
+    * semantics to `size(filter(w, x => x === lit(term)))` but one codegen'd
+    * loop with no interpreted HOF and no intermediate array
+    * (expressions.CountInArray; bit-parity pinned in SimilaritySpec). */
+  def countTerm(wordsCol: Column, term: String): Column =
+    Bridge.column(graft.expressions.CountInArray(
+      Bridge.expression(wordsCol), Bridge.expression(lit(term))))
+
   /** Word n-gram shingles (n=3) from a words-array column — the
     * MinHash/Jaccard feature set. REQUIRES size(wordsCol) >= 3: callers must
     * filter first (under ANSI mode element_at would throw out-of-bounds and

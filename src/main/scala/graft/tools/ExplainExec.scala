@@ -1,0 +1,25 @@
+// Scratch runner: EXECUTES a named query, then prints the final (post-AQE)
+// physical plan — the only place runtime exchange/stage reuse is visible.
+// Usage: bash tools/run.sh graft.tools.ExplainExec <query_name> [sfDir]
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+object ExplainExec {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    df.count() // materialize: AQE finalizes stages, reuse becomes visible
+    // scalastyle:off println
+    println(df.queryExecution.executedPlan.toString)
+    // scalastyle:on println
+    spark.stop()
+  }
+}

@@ -13,6 +13,16 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Split a possibly-sort-ordered Column (`c.desc` / `c.asc`) into its
+    * underlying value column and ascending flag. Spark 4 Columns wrap lazy
+    * ColumnNodes — the SortOrder lives at the node layer, so matching the
+    * converted catalyst expression misses it. */
+  def splitSortOrder(c: Column): (Column, Boolean) = c.node match {
+    case org.apache.spark.sql.internal.SortOrder(child, dir, _, _) =>
+      (new Column(child), dir == org.apache.spark.sql.internal.SortOrder.Ascending)
+    case _ => (c, true)
+  }
+
   /** Canonicalize float/double values inside an expression (-0.0 → 0.0, one
     * NaN bit pattern) — what Spark's NormalizeFloatingNumbers rule does for
     * built-in grouping/join keys. Custom logical nodes bypass that rule, so

@@ -246,6 +246,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(native.toSeq == Seq(None, None, Some(11.0)))
   }
 
+  test("CountInArray matches the HOF filter-size formulation on real and edge arrays") {
+    import graft.operators.TextAnalysis
+    // real corpus: every (doc, term) tf identical to the HOF reference
+    val docs = graft.sources.Tables(spark, TestSpark.sf0001, "documents")
+      .select(col("doc_id"), TextAnalysis.words(col("text")).as("w"))
+    for (t <- Seq("query", "scan", "vector", "absent-term")) {
+      val diff = docs.select(
+        TextAnalysis.countTerm(col("w"), t).as("native"),
+        size(filter(col("w"), x => x === lit(t))).cast("long").as("hof"))
+        .filter(col("native") =!= col("hof")).count()
+      assert(diff == 0, s"tf mismatch for term '$t'")
+    }
+    // edges: null array → NULL; null elements skipped; empty array → 0
+    val edge = Seq(
+      (1L, Seq[String]("a", "b", "a")), (2L, Seq[String]()),
+      (3L, Seq[String]("a", null, "a"))).toDF("id", "w")
+      .union(Seq((4L, null.asInstanceOf[Seq[String]])).toDF("id", "w"))
+    val got = edge.select(col("id"), TextAnalysis.countTerm(col("w"), "a").as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(1L -> 2L, 2L -> 0L, 3L -> 2L, 4L -> -1L))
+  }
+
   test("graft_dot / graft_cosine are SQL-callable after extension registration") {
     graft.expressions.GraftExtensions.register(spark)
     val out = spark.sql(
