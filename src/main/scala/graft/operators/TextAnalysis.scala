@@ -784,23 +784,26 @@ object TextAnalysis {
     * all, chunk ids derive from the start offset (not a window function),
     * so the operator is a single map-side pass at any corpus size — the
     * shape that matters when chunking 100 TB for an embedding index. */
+  /** The chunk transform behind q105, as a plain DataFrame→DataFrame so the
+    * SAME code path runs in batch (oracle-checked) and under `readStream`
+    * (stateless per-row explode — no watermark or state store needed;
+    * parity pinned in StreamingStateSpec, design rule 5). */
+  def chunk(docs: DataFrame, window: Int = 64, stride: Int = 48): DataFrame =
+    docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .withColumn("n", size(col("w")))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), col("n"), lit(stride))).as("start"))
+      .withColumn("chunk", slice(col("w"), col("start"), lit(window)))
+      .select(col("doc_id"),
+        expr(s"((start - 1) div $stride) + 1").cast("long").as("chunk_id"),
+        col("start").cast("long").as("start_tok"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+
   val q105Chunking: Q = Q(
     "q105_chunking",
-    (s, dir) => {
-      val window = 64
-      val stride = 48
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), words(col("text")).as("w"))
-        .withColumn("n", size(col("w")))
-        .select(col("doc_id"), col("w"),
-          explode(sequence(lit(1), col("n"), lit(stride))).as("start"))
-        .withColumn("chunk", slice(col("w"), col("start"), lit(window)))
-        .select(col("doc_id"),
-          expr(s"((start - 1) div $stride) + 1").cast("long").as("chunk_id"),
-          col("start").cast("long").as("start_tok"),
-          size(col("chunk")).cast("long").as("n_tokens"),
-          array_join(col("chunk"), " ").as("chunk_text"))
-    },
+    (s, dir) => chunk(Tables(s, dir, "documents")),
     Some("""WITH d AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
       |  FROM documents),

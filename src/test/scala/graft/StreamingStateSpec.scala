@@ -281,4 +281,27 @@ class StreamingStateSpec extends AnyFunSuite {
     val ids = spark.table("dedup_test").select("event_id").as[Long].collect().sorted
     assert(ids.toSeq == Seq(1L, 2L, 3L)) // replayed id 1 emitted once
   }
+
+  test("context-window chunking runs the same code path under readStream (batch parity)") {
+    import graft.operators.TextAnalysis
+    import graft.sources.Tables
+    // stateless per-row operator → append mode, no watermark, no state store
+    val stream = spark.readStream
+      .schema(Tables.schemas("documents"))
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(TestSpark.sf0001)
+    val q = TextAnalysis.chunk(stream)
+      .writeStream.format("memory").queryName("chunk_stream_test")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("chunk_stream_test")
+      .select("doc_id", "chunk_id", "n_tokens", "chunk_text")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val batch = TextAnalysis.q105Chunking.run(spark, TestSpark.sf0001)
+      .select("doc_id", "chunk_id", "n_tokens", "chunk_text")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(streamed.length == batch.length)
+    assert(streamed.toSeq == batch.toSeq)
+  }
 }
