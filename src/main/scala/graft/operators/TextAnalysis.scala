@@ -818,8 +818,72 @@ object TextAnalysis {
       |  array_to_string(w[start:least(start + 63, n)], ' ') AS chunk_text
       |FROM c""".stripMargin))
 
+  /** q108 — boilerplate stripping (the C4-style cleanup pass: text repeated
+    * across many documents of a source — nav bars, license footers, templa-
+    * ted headers — is removed from EVERY document, with the document text
+    * REBUILT from the surviving content in order). Unit here is the
+    * non-overlapping 8-token block (this corpus has no newlines; on real
+    * data the split expression changes, the plan does not). A block is
+    * boilerplate when it appears verbatim in ≥ 3 distinct documents of the
+    * same source. Rebuild = order-sorted collect of kept blocks — the
+    * collect_list is per-document (bounded by document size, not corpus),
+    * made deterministic by array_sort on the block index.
+    * Scale shape: block explode (|tokens|/8 rows) → one map-side-combined
+    * (source, block) distinct-doc count → equi-join back on the same key →
+    * per-doc regroup. Nothing wider than a document ever sits in one group;
+    * the frequency relation is bounded by distinct blocks. */
+  /** The strip transform behind q108 as a plain DataFrame function
+    * (doc_id, source, text) → cleaned docs, so the drop semantics are
+    * spec-testable on a fixture with PLANTED boilerplate (the natural
+    * corpus has no block-ALIGNED same-source repeats, so there the oracle
+    * exercises the no-drop reconstruction path: cleaned_text must rebuild
+    * the original token stream exactly). */
+  def stripBoilerplate(docs: DataFrame, minDocs: Int = 3): DataFrame = {
+    val blocks = docs
+      .select(col("doc_id"), col("source"), words(col("text")).as("w"))
+      .select(col("doc_id"), col("source"), posexplode(
+        expr("transform(sequence(1, size(w), 8), st -> array_join(slice(w, st, 8), ' '))"))
+        .as(Seq("bi", "btxt")))
+      .withColumn("bi", col("bi").cast("long"))
+    val freq = blocks.groupBy(col("source"), col("btxt"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    blocks.join(freq, Seq("source", "btxt"))
+      .withColumn("boiler", col("ndocs") >= minDocs)
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("dropped_blocks"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN NOT boiler THEN struct(bi, btxt) END)), x -> x.btxt)"),
+          " ").as("cleaned_text"))
+  }
+
+  val q108BoilerplateStrip: Q = Q(
+    "q108_boilerplate_strip",
+    (s, dir) => stripBoilerplate(Tables(s, dir, "documents")),
+    Some("""WITH d AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, source, CAST((st - 1) // 8 AS BIGINT) AS bi,
+      |    array_to_string(w[st:least(st + 7, len(w))], ' ') AS btxt
+      |  FROM (SELECT doc_id, source, w, unnest(range(1, len(w) + 1, 8)) AS st
+      |        FROM d) x),
+      |f AS (
+      |  SELECT source, btxt, COUNT(DISTINCT doc_id) AS ndocs
+      |  FROM b GROUP BY source, btxt),
+      |j AS (
+      |  SELECT b.doc_id, b.source, b.bi, b.btxt, f.ndocs >= 3 AS boiler
+      |  FROM b JOIN f USING (source, btxt))
+      |SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+      |  CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS dropped_blocks,
+      |  COALESCE(string_agg(CASE WHEN NOT boiler THEN btxt END, ' ' ORDER BY bi), '')
+      |    AS cleaned_text
+      |FROM j GROUP BY doc_id, source""".stripMargin))
+
   val all: Seq[Q] = Seq(q20TextStats, q21TokenCount, q22LangId, q23Fingerprint,
     q24Quality, q39Winnowing, q64RepetitionSignals, q71InvertedIndex, q73RareTerms,
     q83TokenShards, q87VocabReport, q90PackingReport,
-    q96PiiRedaction, q97NormalizeUnicode, q98BpeMergeStep, q105Chunking)
+    q96PiiRedaction, q97NormalizeUnicode, q98BpeMergeStep, q105Chunking,
+    q108BoilerplateStrip)
 }

@@ -121,6 +121,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q108: planted boilerplate is stripped from every doc; clean docs rebuild exactly") {
+    // fixture: three docs of src_a share an 8-token header block (aligned),
+    // each with a unique 8-token tail; one src_b doc shares the same header
+    // (different source → NOT boilerplate there); threshold = 3
+    val header = (1 to 8).map(i => s"nav$i").mkString(" ")
+    def tail(tag: String) = (1 to 8).map(i => s"$tag$i").mkString(" ")
+    val fixture = Seq(
+      (1L, "src_a", s"$header ${tail("x")}"),
+      (2L, "src_a", s"$header ${tail("y")}"),
+      (3L, "src_a", s"$header ${tail("z")}"),
+      (4L, "src_b", s"$header ${tail("w")}")).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.stripBoilerplate(fixture)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- 1L to 3L) {
+      assert(out(id).getLong(3) == 1L, s"doc $id must drop the header block")
+      assert(!out(id).getString(4).contains("nav"), s"doc $id keeps header text")
+    }
+    assert(out(1L).getString(4) == tail("x"))
+    assert(out(4L).getLong(3) == 0L, "src_b's lone header is not boilerplate")
+    assert(out(4L).getString(4) == s"$header ${tail("w")}")
+    // natural corpus: nothing is block-aligned boilerplate, so the rebuild
+    // must reproduce the original single-spaced token stream verbatim
+    val real = TextAnalysis.q108BoilerplateStrip.run(spark, dir)
+    val joined = real.join(graft.sources.Tables(spark, dir, "documents"), "doc_id")
+    assert(joined.filter(col("dropped_blocks") > 0).count() == 0)
+    assert(joined.filter(col("cleaned_text") =!=
+      array_join(split(trim(col("text")), "\\s+"), " ")).count() == 0)
+  }
+
   test("q101: blend arithmetic holds and ranks are a contiguous 1..10") {
     val out = Ranking.q101HybridRetrieval.run(spark, dir).cache()
     val rows = out.select(col("rank"), col("bm25"), col("cosine"), col("hybrid"))
