@@ -199,7 +199,8 @@ object Curation {
           md5(concat(lit("epoch1:"), col("doc_id").cast("string")).cast("binary"))
             .as("shuffle_key"))
       Ranks.withGlobalOrder(keyed,
-        Seq(col("shuffle_key").asc, col("doc_id").asc), "train_pos")
+        Seq(col("shuffle_key").asc, col("doc_id").asc), "train_pos",
+        sampleOn = Some(col("doc_id")))
     },
     Some("""SELECT doc_id,
       |  md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
@@ -229,7 +230,8 @@ object Curation {
           size(TextAnalysis.words(col("text"))).cast("long").as("tokens"))
       Ranks.withGlobalOrder(keyed,
           Seq(col("shuffle_key").asc, col("doc_id").asc), "train_pos",
-          running = Seq((col("tokens"), "cum_tokens")))
+          running = Seq((col("tokens"), "cum_tokens")),
+          sampleOn = Some(col("doc_id")))
         .withColumn("shard_id", expr(s"(cum_tokens - tokens) div $budget"))
         .select(col("doc_id"), col("shuffle_key"), col("tokens"),
           col("train_pos"), col("cum_tokens"), col("shard_id"))

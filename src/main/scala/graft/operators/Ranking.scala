@@ -127,7 +127,8 @@ object Ranking {
   val q84Bm25: Q = Q(
     "q84_bm25",
     (s, dir) => Ranks.withGlobalOrder(bm25Scored(s, dir),
-      Seq(col("bm25").desc, col("doc_id").asc), "rank"),
+      Seq(col("bm25").desc, col("doc_id").asc), "rank",
+      sampleOn = Some(col("doc_id"))),
     Some(s"""$bm25OracleCtes
       |SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
       |FROM scored""".stripMargin))
@@ -191,7 +192,8 @@ object Ranking {
   val q104Bm25Ln: Q = Q(
     "q104_bm25_ln",
     (s, dir) => Ranks.withGlobalOrder(bm25ScoredIdf(s, dir, lnIdf = true),
-      Seq(col("bm25_ln").desc, col("doc_id").asc), "rank"),
+      Seq(col("bm25_ln").desc, col("doc_id").asc), "rank",
+      sampleOn = Some(col("doc_id"))),
     None)
 
   val all: Seq[Q] = Seq(q84Bm25, q101HybridRetrieval, q104Bm25Ln)

@@ -47,19 +47,29 @@ object Ranks {
     * driver-sized at big N (any sample yields correct ranks — only balance
     * varies; the cap below bounds the driver memory regardless). */
   def withGlobalOrder(df: DataFrame, order: Seq[Column], rankName: String,
-      running: Seq[(Column, String)] = Nil, sampleMod: Int = 101): DataFrame = {
+      running: Seq[(Column, String)] = Nil, sampleMod: Int = 101,
+      sampleOn: Option[Column] = None): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val buckets = parts * 4 // over-decompose: smooths hash collisions + skew
     val split = order.map(Bridge.splitSortOrder)
     val keyCols = split.map(_._1)
     val asc = split.map(_._2)
 
-    // 1. deterministic splitter sample → literal bounds (driver model state)
-    val keyed = df.select(keyCols.zipWithIndex.map { case (c, i) => c.as(s"__k$i") }: _*)
-    val sample = keyed
-      .filter(pmod(xxhash64(keyed.columns.map(col): _*), lit(sampleMod)) === 0)
-      .limit(1 << 20)
-      .collect()
+    // 1. deterministic splitter sample → literal bounds (driver model state).
+    // `sampleOn`: thin on a hash of a CHEAP uniform column (e.g. the unique
+    // id) instead of the sort key itself — the filter then pushes below the
+    // key computation, so an expensive key (q84's scorer) is evaluated for
+    // the ~1/sampleMod survivors only, not the whole input, in this pass.
+    val thinned = sampleOn match {
+      case Some(c) => df.filter(pmod(xxhash64(c), lit(sampleMod)) === 0)
+      case None => df
+    }
+    val keyed = thinned.select(keyCols.zipWithIndex.map { case (c, i) => c.as(s"__k$i") }: _*)
+    val sample = (sampleOn match {
+      case Some(_) => keyed
+      case None =>
+        keyed.filter(pmod(xxhash64(keyed.columns.map(col): _*), lit(sampleMod)) === 0)
+    }).limit(1 << 20).collect()
     val ord = rowOrdering(asc)
     val sorted = sample.sortWith((a, b) => ord.compare(a, b) < 0)
     val bounds: Seq[Row] =

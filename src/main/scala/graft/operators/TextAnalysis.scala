@@ -468,7 +468,8 @@ object TextAnalysis {
       // and the technique costs nothing extra (PlanAuditSpec forbids the
       // unpartitioned-window alternative registry-wide).
       Ranks.withGlobalOrder(tc, Seq(col("cnt").desc, col("term").asc),
-          "rank", running = Seq((col("cnt"), "cum_cnt")))
+          "rank", running = Seq((col("cnt"), "cum_cnt")),
+          sampleOn = Some(col("term")))
         .filter(col("rank") <= 50)
         .crossJoin(broadcast(summary))
         .select(col("rank"), col("term"), col("cnt"),
