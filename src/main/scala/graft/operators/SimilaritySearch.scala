@@ -763,6 +763,71 @@ object SimilaritySearch {
          |FROM assigned s LEFT JOIN pm ON pm.vec_id = s.vec_id""".stripMargin
     })
 
+  /** q109 — cluster topic cards: the "what is in my data" report a corpus
+    * curator reads after clustering — for each embedding cluster, the 5
+    * most SALIENT terms of its documents (term frequency × cluster-level
+    * inverse document frequency). Assignment reuses the literal centroids
+    * (q62/q85's — oracle-shared); doc text joins on doc_id = vec_id (the
+    * testdata convention, same as q101). Salience stays integer-exact
+    * (tf · (10⁶ div cluster_df)) so the output hash-checks.
+    * Scale: one corpus-grain term aggregate at (cid, term) — map-side
+    * combinable; cluster-df and the rank window run over vocabulary-sized
+    * relations, partitioned by cid. */
+  val q109ClusterCards: Q = Q(
+    "q109_cluster_cards",
+    (s, dir) => {
+      val assigned = assignLiteral(embWithNorm(s, dir), kmeansInit)
+        .select(col("vec_id"), col("cid"))
+      val terms = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("term"))
+        .join(assigned, col("doc_id") === col("vec_id"))
+      val tf = terms.groupBy(col("cid"), col("term")).agg(count(lit(1)).as("tf"))
+      val cdf = tf.groupBy(col("term")).agg(count(lit(1)).as("cdf"))
+      val w = Window.partitionBy(col("cid"))
+        .orderBy(col("salience").desc, col("term").asc)
+      tf.join(cdf, "term")
+        .withColumn("salience", expr("tf * (1000000 div cdf)"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("cid"), col("rank"), col("term"), col("tf"),
+          col("cdf"), col("salience"))
+    },
+    Some {
+      val scoreDefs = kmeansInit.zipWithIndex.map { case (c, i) =>
+        val cc = c.map(v => v * v).sum
+        s"    $cc - 2.0 * list_dot_product(emb, ${arraySql(c)}) AS s$i"
+      }.mkString(",\n")
+      s"""WITH $embOracleCte,
+         |scored AS (
+         |  SELECT vec_id, emb,
+         |$scoreDefs
+         |  FROM e),
+         |assigned AS (
+         |  SELECT vec_id,
+         |    CAST(CASE
+         |      WHEN s0 <= s1 AND s0 <= s2 AND s0 <= s3 THEN 0
+         |      WHEN s1 <= s2 AND s1 <= s3 THEN 1
+         |      WHEN s2 <= s3 THEN 2
+         |      ELSE 3 END AS BIGINT) AS cid
+         |  FROM scored),
+         |terms AS (
+         |  SELECT a.cid, unnest(regexp_split_to_array(trim(d.text), '\\s+')) AS term
+         |  FROM documents d JOIN assigned a ON d.doc_id = a.vec_id),
+         |tf AS (
+         |  SELECT cid, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM terms GROUP BY cid, term),
+         |cdf AS (
+         |  SELECT term, CAST(COUNT(*) AS BIGINT) AS cdf FROM tf GROUP BY term)
+         |SELECT cid, rank, term, tf, cdf, salience FROM (
+         |  SELECT tf.cid, tf.term, tf.tf, cdf.cdf,
+         |    tf.tf * (1000000 // cdf.cdf) AS salience,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.cid
+         |      ORDER BY tf.tf * (1000000 // cdf.cdf) DESC, tf.term ASC)
+         |      AS BIGINT) AS rank
+         |  FROM tf JOIN cdf USING (term)) r
+         |WHERE rank <= 5""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(q35BruteForceTopK, q36LshTopK, q37IvfTopK, q38LshPairs,
-    q62KmeansStep, q65PqAdc, q75VectorStats, q85SemDedup)
+    q62KmeansStep, q65PqAdc, q75VectorStats, q85SemDedup, q109ClusterCards)
 }

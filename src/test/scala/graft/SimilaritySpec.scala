@@ -211,6 +211,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(byLiteral.map(_._2).distinct.length > 1)
   }
 
+  test("q109: every cluster gets ≤5 card terms with contiguous ranks and monotone salience") {
+    val out = SimilaritySearch.q109ClusterCards.run(spark, TestSpark.sf0001).cache()
+    val byCid = out.select(col("cid"), col("rank"), col("salience"))
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    assert(byCid.nonEmpty && byCid.keySet.subsetOf((0L to 3L).toSet))
+    byCid.foreach { case (cid, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to rows.length), s"ranks not contiguous in $cid")
+      assert(rows.length <= 5)
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sortBy(-_).toSeq,
+        s"salience not monotone in $cid")
+    }
+    out.unpersist()
+  }
+
   test("optimizer rule rewrites the HOF dot pattern to the native expression, bit-exact") {
     val prev = spark.experimental.extraOptimizations
     // a real scan, so constant folding can't pre-evaluate the projection
