@@ -53,6 +53,35 @@ object Curation {
       .partitionBy("shard_id")
       .parquet(outPath)
 
+  /** EPOCH export — the full per-epoch training-data deal: curation
+    * survivors (q67 verdicts) → epoch-keyed deterministic shuffle →
+    * token-budget shard packing IN SHUFFLED ORDER (q106/q107's single
+    * `Ranks.withGlobalOrder` pass) → shard-partitioned write. Each epoch's
+    * shards are an unbiased re-deal of the survivors (doc_id-range shards
+    * bias a shard toward ingestion order); changing `epoch` re-permutes
+    * with zero state. Returns the exported relation for inspection. */
+  def exportEpoch(spark: SparkSession, dir: String, outPath: String,
+      epoch: Int, tokenBudget: Long = 2000L): DataFrame = {
+    val kept = Dedup.q67CurationPipeline.run(spark, dir)
+      .filter(col("kept"))
+      .select(col("doc_id"), col("predicted_lang"), col("quality_score"))
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val keyed = kept.join(docs, "doc_id")
+      .withColumn("tokens", size(TextAnalysis.words(col("text"))).cast("long"))
+      .withColumn("shuffle_key",
+        md5(concat(lit(s"epoch$epoch:"), col("doc_id").cast("string")).cast("binary")))
+    val packed = Ranks.withGlobalOrder(keyed,
+        Seq(col("shuffle_key").asc, col("doc_id").asc), "train_pos",
+        running = Seq((col("tokens"), "cum_tokens")),
+        sampleOn = Some(col("doc_id")))
+      .withColumn("shard_id", expr(s"(cum_tokens - tokens) div $tokenBudget"))
+      .select(col("doc_id"), col("predicted_lang"), col("quality_score"),
+        col("tokens"), col("train_pos"), col("text"), col("shard_id"))
+    packed.repartition(col("shard_id"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(outPath)
+    spark.read.parquet(outPath)
+  }
+
   /** q88 — deterministic eval carve-out: exactly k=2 held-out documents per
     * (source, lang) stratum, chosen by md5-rank — retry-stable,
     * partitioning-independent, and reproducible from the data alone (no

@@ -43,4 +43,37 @@ class CurationSpec extends AnyFunSuite {
     assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
     assert(pruned.count() > 0)
   }
+
+  test("epoch export re-deals survivors per epoch; each epoch packs and reproduces exactly") {
+    val base = Files.createTempDirectory("graft-epoch").toString
+    val e1 = Curation.exportEpoch(spark, TestSpark.sf0001, s"$base/e1", epoch = 1,
+      tokenBudget = 1000L)
+    val e2 = Curation.exportEpoch(spark, TestSpark.sf0001, s"$base/e2", epoch = 2,
+      tokenBudget = 1000L)
+
+    val keptIds = Dedup.q67CurationPipeline.run(spark, TestSpark.sf0001)
+      .filter(col("kept")).select("doc_id").collect().map(_.getLong(0)).toSet
+    def posOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "train_pos").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p1 = posOf(e1); val p2 = posOf(e2)
+    // both epochs export exactly the survivors, positions 1..n
+    assert(p1.keySet == keptIds && p2.keySet == keptIds)
+    assert(p1.values.toSeq.sorted == (1L to keptIds.size.toLong))
+    // different epochs genuinely re-deal the order
+    assert(p1 != p2, "epoch keys must produce different permutations")
+    // re-running an epoch reproduces the identical deal (pure function of data+epoch)
+    val e1again = Curation.exportEpoch(spark, TestSpark.sf0001, s"$base/e1b", epoch = 1,
+      tokenBudget = 1000L)
+    assert(posOf(e1again) == p1)
+    // packing invariant per epoch: every shard but the last reaches budget
+    // once granted its first doc's overhang
+    val shards = e1.groupBy("shard_id").agg(sum("tokens").as("t"), max("tokens").as("mx"))
+      .collect().map(r => (r.getAs[Number]("shard_id").longValue, r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(shards.map(_._1).toSeq == shards.indices.map(_.toLong))
+    shards.dropRight(1).foreach { case (id, total, mx) =>
+      assert(total + mx >= 1000L, s"epoch shard $id underfilled: $total")
+    }
+  }
 }
