@@ -53,13 +53,31 @@ object Curation {
       .partitionBy("shard_id")
       .parquet(outPath)
 
+  /** The md5 epoch shuffle key — ONE definition shared by q106, q107, and
+    * `exportEpoch` so the deal convention can never drift between the
+    * oracle-checked queries and the export path. */
+  private[operators] def epochKey(epoch: Int): org.apache.spark.sql.Column =
+    md5(concat(lit(s"epoch$epoch:"), col("doc_id").cast("string")).cast("binary"))
+
+  /** Epoch-shuffled order + token-budget shard assignment over a relation
+    * carrying (doc_id, tokens, shuffle_key): adds train_pos, cum_tokens,
+    * shard_id via one `Ranks.withGlobalOrder` pass (q107's shape). */
+  private[operators] def packEpochShards(keyed: DataFrame,
+      tokenBudget: Long): DataFrame =
+    Ranks.withGlobalOrder(keyed,
+        Seq(col("shuffle_key").asc, col("doc_id").asc), "train_pos",
+        running = Seq((col("tokens"), "cum_tokens")),
+        sampleOn = Some(col("doc_id")))
+      .withColumn("shard_id", expr(s"(cum_tokens - tokens) div $tokenBudget"))
+
   /** EPOCH export — the full per-epoch training-data deal: curation
     * survivors (q67 verdicts) → epoch-keyed deterministic shuffle →
     * token-budget shard packing IN SHUFFLED ORDER (q106/q107's single
     * `Ranks.withGlobalOrder` pass) → shard-partitioned write. Each epoch's
     * shards are an unbiased re-deal of the survivors (doc_id-range shards
     * bias a shard toward ingestion order); changing `epoch` re-permutes
-    * with zero state. Returns the exported relation for inspection. */
+    * with zero state. Returns the exported relation for inspection
+    * (shard_id cast back to LONG — Hive partition inference reads INT). */
   def exportEpoch(spark: SparkSession, dir: String, outPath: String,
       epoch: Int, tokenBudget: Long = 2000L): DataFrame = {
     val kept = Dedup.q67CurationPipeline.run(spark, dir)
@@ -68,18 +86,14 @@ object Curation {
     val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
     val keyed = kept.join(docs, "doc_id")
       .withColumn("tokens", size(TextAnalysis.words(col("text"))).cast("long"))
-      .withColumn("shuffle_key",
-        md5(concat(lit(s"epoch$epoch:"), col("doc_id").cast("string")).cast("binary")))
-    val packed = Ranks.withGlobalOrder(keyed,
-        Seq(col("shuffle_key").asc, col("doc_id").asc), "train_pos",
-        running = Seq((col("tokens"), "cum_tokens")),
-        sampleOn = Some(col("doc_id")))
-      .withColumn("shard_id", expr(s"(cum_tokens - tokens) div $tokenBudget"))
+      .withColumn("shuffle_key", epochKey(epoch))
+    val packed = packEpochShards(keyed, tokenBudget)
       .select(col("doc_id"), col("predicted_lang"), col("quality_score"),
         col("tokens"), col("train_pos"), col("text"), col("shard_id"))
     packed.repartition(col("shard_id"))
       .write.mode("overwrite").partitionBy("shard_id").parquet(outPath)
     spark.read.parquet(outPath)
+      .withColumn("shard_id", col("shard_id").cast("long"))
   }
 
   /** q88 — deterministic eval carve-out: exactly k=2 held-out documents per
@@ -224,9 +238,7 @@ object Curation {
     "q106_train_order",
     (s, dir) => {
       val keyed = Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          md5(concat(lit("epoch1:"), col("doc_id").cast("string")).cast("binary"))
-            .as("shuffle_key"))
+        .select(col("doc_id"), epochKey(1).as("shuffle_key"))
       Ranks.withGlobalOrder(keyed,
         Seq(col("shuffle_key").asc, col("doc_id").asc), "train_pos",
         sampleOn = Some(col("doc_id")))
@@ -253,15 +265,9 @@ object Curation {
     (s, dir) => {
       val budget = 2000L
       val keyed = Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          md5(concat(lit("epoch1:"), col("doc_id").cast("string")).cast("binary"))
-            .as("shuffle_key"),
+        .select(col("doc_id"), epochKey(1).as("shuffle_key"),
           size(TextAnalysis.words(col("text"))).cast("long").as("tokens"))
-      Ranks.withGlobalOrder(keyed,
-          Seq(col("shuffle_key").asc, col("doc_id").asc), "train_pos",
-          running = Seq((col("tokens"), "cum_tokens")),
-          sampleOn = Some(col("doc_id")))
-        .withColumn("shard_id", expr(s"(cum_tokens - tokens) div $budget"))
+      packEpochShards(keyed, budget)
         .select(col("doc_id"), col("shuffle_key"), col("tokens"),
           col("train_pos"), col("cum_tokens"), col("shard_id"))
     },

@@ -42,6 +42,11 @@ object Ranks {
     * global running sum column `name` for each `(expr, name)` in `running`,
     * all without any data-scale unpartitioned window.
     *
+    * PRECONDITION: the sort-key columns must be NON-NULL for every row —
+    * bucket assignment and the window's null ordering would otherwise
+    * disagree (silently wrong ranks), and a sampled null would NPE the
+    * driver sort. Wrap nullable keys in `coalesce` first.
+    *
     * `sampleMod`: the splitter sample keeps rows whose key-hash ≡ 0 mod
     * this; tune to ≈ N/(64·buckets) so the collected sample stays
     * driver-sized at big N (any sample yields correct ranks — only balance
@@ -77,8 +82,19 @@ object Ranks {
       else (1 until buckets)
         .map(i => sorted((i.toLong * sorted.length / buckets).toInt))
         .distinct
-    val pid = bounds.foldLeft(lit(0)) { (acc, b) => acc + when(afterBound(keyCols, asc, b), 1).otherwise(0) }
-    val withPid = df.withColumn("__pid", pid)
+    // binary search over the sorted bounds: expression size stays O(bounds)
+    // but each row evaluates only O(log bounds) lexicographic comparisons —
+    // at shuffle.partitions=200 that is ~10 predicates/row, not ~800.
+    // search(lo, hi) returns the row's bucket given it is after bounds
+    // [0, lo) and not after bounds [hi, n).
+    def search(lo: Int, hi: Int): Column =
+      if (lo >= hi) lit(lo)
+      else {
+        val mid = (lo + hi) / 2
+        when(afterBound(keyCols, asc, bounds(mid)), search(mid + 1, hi))
+          .otherwise(search(lo, mid))
+      }
+    val withPid = df.withColumn("__pid", search(0, bounds.length))
 
     // 2. within-bucket rank / running sums (partitioned window — parallel)
     val wIn = Window.partitionBy(col("__pid")).orderBy(order: _*)
@@ -88,7 +104,16 @@ object Ranks {
       case (d, (c, n)) => d.withColumn(s"__run_$n", sum(c).over(cum))
     }
 
-    // 3. offsets = totals of all strictly-earlier buckets (≤`buckets` rows)
+    // 3. offsets = totals of all strictly-earlier buckets (≤`buckets` rows).
+    // Deliberately aggregated over `withPid`, NOT the windowed relation:
+    // the partial aggregate collapses to ≤`buckets` rows per map task
+    // BEFORE any exchange, so this branch re-scans the (columnar, pruned)
+    // input but shuffles almost nothing. The alternative — sharing the rank
+    // branch's corpus-wide pid exchange — does not actually reuse (column
+    // pruning makes the two exchange subtrees canonically different,
+    // verified on the executed plan) and would shuffle the corpus TWICE.
+    // Net physical cost of the whole helper: two map passes + ONE
+    // corpus-size shuffle + one bucket-grain shuffle, at any input size.
     val wOff = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
     val totals = withPid.groupBy(col("__pid")).agg(
       count(lit(1)).as("__pcnt"),
@@ -122,15 +147,35 @@ object Ranks {
   }
 
   /** Lexicographic Ordering over sample rows (null-free total-order keys:
-    * numerics, strings, timestamps), honoring per-column direction. */
+    * numerics, strings, timestamps), honoring per-column direction.
+    * CORRECTNESS-CRITICAL since the bucket id is a binary search: the
+    * driver-sorted bound order must agree with the executor-side
+    * `afterBound` comparisons, or pid stops being monotone in the row
+    * order (the old linear count-of-bounds form tolerated any bound order;
+    * the search does not). Hence strings compare as UNSIGNED UTF-8 BYTES —
+    * Spark's binary UTF8String order — not String.compareTo (UTF-16 code
+    * units), which disagrees for supplementary-plane characters. */
   private def rowOrdering(asc: Seq[Boolean]): Ordering[Row] = new Ordering[Row] {
+    private def utf8Compare(x: String, y: String): Int = {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      a.length - b.length
+    }
     override def compare(a: Row, b: Row): Int = {
       var i = 0
       while (i < asc.length) {
         val c = (a.get(i), b.get(i)) match {
+          case (x: String, y: String) => utf8Compare(x, y)
           case (x: java.lang.Comparable[_], y) =>
             x.asInstanceOf[java.lang.Comparable[Any]].compareTo(y)
-          case (x, y) => x.toString.compareTo(y.toString)
+          case (x, y) => utf8Compare(x.toString, y.toString)
         }
         if (c != 0) return if (asc(i)) c else -c
         i += 1

@@ -16,7 +16,10 @@ object ExplainExec {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = graft.SparkEntry.queries(name)(spark, dir)
-    df.count() // materialize: AQE finalizes stages, reuse becomes visible
+    // collect() drives df's OWN QueryExecution (count() would build a new
+    // aggregate QueryExecution and leave this one unexecuted — the printed
+    // adaptive plan would still be the initial one)
+    df.collect()
     // scalastyle:off println
     println(df.queryExecution.executedPlan.toString)
     // scalastyle:on println
