@@ -272,4 +272,52 @@ object GraftProps extends Properties("graft") {
       } yield (cid, pid)).toSet
       got == want
     }
+
+  private val genRankRows: Gen[List[(Long, Double, String)]] =
+    Gen.nonEmptyListOf(for {
+      x <- Gen.choose(0, 8).map(_ / 2.0)  // few distinct values -> heavy ties
+      t <- Gen.oneOf("a", "z", "\u00e9", "\ud83d\ude00", "ab", "\u00e9b") // 1/2/4-byte UTF-8
+    } yield (x, t)).map(_.take(40).zipWithIndex.map { case ((x, t), i) => (i.toLong, x, t) })
+
+  /** Spark's binary UTF8String order, reimplemented for the expectation. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  property("withGlobalOrder = driver-side total sort, ties + multi-bucket forced") =
+    forAll(genRankRows) { rows =>
+      val df = rows.toDF("id", "x", "s")
+      // sampleMod = 1: every row is a splitter candidate -> real bounds even
+      // on tiny inputs, exercising the binary-search bucket path
+      val out = graft.operators.Ranks.withGlobalOrder(df,
+        Seq(col("x").desc, col("id").asc), "rank",
+        running = Seq((col("id"), "cum_id")), sampleMod = 1)
+        .select("id", "rank", "cum_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
+      val expOrder = rows.sortBy { case (id, x, _) => (-x, id) }
+      val expCum = expOrder.scanLeft(0L)(_ + _._1).tail
+      out.map(_._1).toSeq == expOrder.map(_._1) &&
+        out.map(_._2).toSeq == (1L to rows.length.toLong) &&
+        out.map(_._3).toSeq == expCum
+    }
+
+  property("withGlobalOrder string keys follow Spark's UTF-8 binary order") =
+    forAll(genRankRows) { rows =>
+      val df = rows.toDF("id", "x", "s")
+      val out = graft.operators.Ranks.withGlobalOrder(df,
+        Seq(col("s").asc, col("id").asc), "rank", sampleMod = 1)
+        .select("id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+      val expOrder = rows.map { case (id, _, t) => (id, t) }
+        .sortWith((a, b) => if (a._2 != b._2) utf8Lt(a._2, b._2) else a._1 < b._1)
+      out.map(_._1).toSeq == expOrder.map(_._1)
+    }
 }
