@@ -320,4 +320,31 @@ object GraftProps extends Properties("graft") {
         .sortWith((a, b) => if (a._2 != b._2) utf8Lt(a._2, b._2) else a._1 < b._1)
       out.map(_._1).toSeq == expOrder.map(_._1)
     }
+
+  private val genBoilerDocs: Gen[List[(Long, String, String)]] =
+    Gen.nonEmptyListOf(for {
+      src <- Gen.oneOf("s1", "s2")
+      nTok <- Gen.choose(1, 30)
+      toks <- Gen.listOfN(nTok, Gen.oneOf("aa", "bb", "cc", "dd")) // tiny vocab -> block collisions
+    } yield (src, toks.mkString(" ")))
+      .map(_.take(16).zipWithIndex.map { case ((src, t), i) => (i.toLong, src, t) })
+
+  property("stripBoilerplate matches a from-scratch reimplementation on colliding corpora") =
+    forAll(genBoilerDocs) { docs =>
+      // driver-side reference: non-overlapping 8-token blocks, boiler when
+      // a block appears in >= 3 distinct docs of one source, rebuild kept
+      val blocks = docs.map { case (id, src, t) =>
+        (id, src, t.trim.split("\\s+").toList.grouped(8).map(_.mkString(" ")).toList)
+      }
+      val freq = blocks.flatMap { case (id, src, bs) => bs.distinct.map(b => (src, b, id)) }
+        .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).distinct.size).toMap
+      val expected = blocks.map { case (id, src, bs) =>
+        val kept = bs.filter(b => freq((src, b)) < 3)
+        id -> (bs.length.toLong, (bs.length - kept.length).toLong, kept.mkString(" "))
+      }.toMap
+      val out = graft.operators.TextAnalysis.stripBoilerplate(
+        docs.toDF("doc_id", "source", "text")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+      out == expected
+    }
 }
