@@ -347,4 +347,21 @@ object GraftProps extends Properties("graft") {
         .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getString(4))).toMap
       out == expected
     }
+
+  property("chunk tiles arbitrary token streams exactly like a driver-side reference") =
+    forAll(genBoilerDocs) { docs =>
+      val expected = docs.flatMap { case (id, _, t) =>
+        val w = t.trim.split("\\s+").toList
+        (1 to w.length by 48).zipWithIndex.map { case (start, ci) =>
+          (id, ci + 1L, start.toLong, w.slice(start - 1, start - 1 + 64))
+        }
+      }.map { case (id, ci, st, chunk) =>
+        (id, ci, st, chunk.length.toLong, chunk.mkString(" "))
+      }.toSet
+      val out = graft.operators.TextAnalysis.chunk(
+        docs.toDF("doc_id", "source", "text")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .toSet
+      out == expected
+    }
 }
