@@ -46,9 +46,13 @@ object Ranking {
     * `bm25_ln` column — what a real deployment ranks by. The ln variant is
     * deterministic WITHIN the JVM but not bitwise-portable across engines
     * (ln differs in the last ulp for 7/5550 df inputs — object doc), so
-    * q104 ships without oracle SQL (driver rows-only check) and
-    * CorpusOpsSpec pins its values against an independently-computed
-    * reference instead. Plan shape is identical to q84's. */
+    * q104 hash-checks the score ROUNDED to a 1e-6 decimal grid: ranking
+    * still runs on the raw doubles (both engines), and Q104RoundingProbeSpec
+    * proves exhaustively, at every test SF, that no corpus score sits within
+    * 1e-12 of a rounding boundary and that distinct score-determining inputs
+    * are separated by ≫ the cross-engine ulp error — so the rounded values
+    * AND the rank permutation are bit-identical across engines.
+    * Plan shape is identical to q84's. */
   private def bm25ScoredIdf(s: org.apache.spark.sql.SparkSession, dir: String,
       lnIdf: Boolean): org.apache.spark.sql.DataFrame = {
       val wtf0 = Tables(s, dir, "documents")
@@ -85,8 +89,15 @@ object Ranking {
           bm25.as(if (lnIdf) "bm25_ln" else "bm25")): _*)
   }
 
-  /** Oracle CTE chain mirroring `bm25Scored` (ends at a `scored` relation). */
-  private def bm25OracleCtes: String = {
+  /** Raw (un-rounded) textbook-ln scorer — exposed only for the rounding
+    * boundary probe (Q104RoundingProbeSpec) and the reference recount in
+    * CorpusOpsSpec; the registry query q104 ships the rounded score. */
+  private[graft] def bm25LnRaw(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = bm25ScoredIdf(s, dir, lnIdf = true)
+
+  /** Oracle CTE chain mirroring `bm25ScoredIdf` (ends at a `scored`
+    * relation; score column `bm25` or `bm25_ln` matching the Spark side). */
+  private def bm25OracleCtes(lnIdf: Boolean = false): String = {
       val tfDefs = queryTerms.zipWithIndex.map { case (t, i) =>
         s"    CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT) AS tf$i"
       }.mkString(",\n")
@@ -94,11 +105,14 @@ object Ranking {
         s"    CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
         .mkString(",\n")
       val scoreSum = queryTerms.indices.map { i =>
-        s"((CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5)) * " +
+        val idfR = s"((CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))"
+        val idf = if (lnIdf) s"LN($idfR + 1.0)" else idfR
+        s"$idf * " +
           s"((CAST(tf$i AS DOUBLE) * 2.2) / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))"
       }.reduceLeft((a, b) => s"($a + $b)")
       val tfNames = queryTerms.zipWithIndex
         .map { case (t, i) => s"tf$i AS tf_$t" }.mkString(", ")
+      val scoreName = if (lnIdf) "bm25_ln" else "bm25"
       raw"""WITH d AS (
          |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
          |t AS (
@@ -111,7 +125,7 @@ object Ranking {
          |  FROM t),
          |scored AS (
          |  SELECT doc_id, dl, $tfNames,
-         |    $scoreSum AS bm25
+         |    $scoreSum AS $scoreName
          |  FROM t CROSS JOIN st)""".stripMargin
   }
 
@@ -129,7 +143,7 @@ object Ranking {
     (s, dir) => Ranks.withGlobalOrder(bm25Scored(s, dir),
       Seq(col("bm25").desc, col("doc_id").asc), "rank",
       sampleOn = Some(col("doc_id"))),
-    Some(s"""$bm25OracleCtes
+    Some(s"""${bm25OracleCtes()}
       |SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
       |FROM scored""".stripMargin))
 
@@ -168,7 +182,7 @@ object Ranking {
           Window.orderBy(col("hybrid").desc, col("doc_id").asc)).cast("long"))
         .select(col("rank"), col("doc_id"), col("bm25"), col("cosine"), col("hybrid"))
     },
-    Some(s"""$bm25OracleCtes,
+    Some(s"""${bm25OracleCtes()},
       |cands AS (
       |  SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 50),
       |e AS (
@@ -187,14 +201,23 @@ object Ranking {
 
   /** q104 — textbook-idf BM25 ranking (`bm25_ln`), the canonical scoring a
     * reference user expects next to q84's bit-portable rational twin. Same
-    * distributed rank, same plan; only the per-term idf differs (see
-    * `bm25ScoredIdf` for why this one is rows-only checked). */
+    * distributed rank, same plan; only the per-term idf differs. The RANK
+    * runs on the raw doubles (identical order in both engines — the
+    * adjacent-score-gap probe proves no pair sits within cross-engine ulp
+    * error); the emitted score is rounded to the 1e-6 grid so the hash
+    * compare is engine-portable (see `bm25ScoredIdf` + Q104RoundingProbeSpec
+    * for the exhaustive boundary-distance evidence). */
   val q104Bm25Ln: Q = Q(
     "q104_bm25_ln",
     (s, dir) => Ranks.withGlobalOrder(bm25ScoredIdf(s, dir, lnIdf = true),
-      Seq(col("bm25_ln").desc, col("doc_id").asc), "rank",
-      sampleOn = Some(col("doc_id"))),
-    None)
+        Seq(col("bm25_ln").desc, col("doc_id").asc), "rank",
+        sampleOn = Some(col("doc_id")))
+      .withColumn("bm25_ln", round(col("bm25_ln"), 6)),
+    Some(s"""${bm25OracleCtes(lnIdf = true)}
+      |SELECT doc_id, dl, tf_query, tf_scan, tf_vector,
+      |  ROUND(bm25_ln, 6) AS bm25_ln, rank
+      |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY bm25_ln DESC, doc_id ASC) AS rank
+      |      FROM scored) t""".stripMargin))
 
   val all: Seq[Q] = Seq(q84Bm25, q101HybridRetrieval, q104Bm25Ln)
 }

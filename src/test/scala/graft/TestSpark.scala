@@ -16,4 +16,7 @@ object TestSpark {
     s
   }
   val sf0001 = "/root/testdata/sf0.001"
+  val sf001 = "/root/testdata/sf0.01"
+  val sf01 = "/root/testdata/sf0.1"
+  val allSfs: Seq[String] = Seq(sf0001, sf001, sf01)
 }
