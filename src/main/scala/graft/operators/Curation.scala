@@ -302,10 +302,16 @@ object Curation {
     * combinable), a source-grain totals relation (broadcasts), and a
     * term-keyed self-join whose fan-out is sources-per-term choose 2 —
     * vocabulary-linear for a bounded source set. */
-  val q110SourceSimilarity: Q = Q(
-    "q110_source_similarity",
-    (s, dir) => {
-      val tc = Tables(s, dir, "documents")
+  /** q110 core over any (source, text) relation — factored out so the spec
+    * can plant a disjoint-vocabulary source pair. The pair grid comes from
+    * a cross of the SOURCE-GRAIN relation (bounded set — documented tiny
+    * cartesian, PlanAuditSpec deliberate list), left-joined to the
+    * common-term aggregate: a pair sharing no terms still emits its row
+    * with sum_min = 0, i.e. tv = (Q_a + Q_b)/2·10⁶ ≈ 1 — the inner join
+    * alone would silently omit it. */
+  private[graft] def sourceTv(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+      val tc = docs
         .select(col("source"), explode(TextAnalysis.words(col("text"))).as("term"))
         .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
       val tot = tc.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
@@ -314,18 +320,27 @@ object Curation {
       val qtot = p.groupBy(col("source")).agg(sum(col("q")).as("qtot"))
       val a = p.select(col("source").as("source_a"), col("term"), col("q").as("qa"))
       val b = p.select(col("source").as("source_b"), col("term"), col("q").as("qb"))
-      a.join(b, Seq("term"))
+      val common = a.join(b, Seq("term"))
         .filter(col("source_a") < col("source_b"))
         .groupBy(col("source_a"), col("source_b"))
         .agg(count(lit(1)).as("common_terms"),
           sum(least(col("qa"), col("qb"))).as("sum_min"))
+      val srcs = qtot.select(col("source"))
+      val grid = srcs.toDF("source_a").crossJoin(srcs.toDF("source_b"))
+        .filter(col("source_a") < col("source_b"))
+      grid.join(common, Seq("source_a", "source_b"), "left")
+        .na.fill(0L, Seq("common_terms", "sum_min"))
         .join(qtot.toDF("source_a", "qtot_a"), "source_a")
         .join(qtot.toDF("source_b", "qtot_b"), "source_b")
         .select(col("source_a"), col("source_b"), col("common_terms"),
           (col("qtot_a") + col("qtot_b") - lit(2L) * col("sum_min")).as("tv_scaled"),
           ((col("qtot_a") + col("qtot_b") - lit(2L) * col("sum_min")).cast("double")
             / lit(2000000.0)).as("tv"))
-    },
+  }
+
+  val q110SourceSimilarity: Q = Q(
+    "q110_source_similarity",
+    (s, dir) => sourceTv(Tables(s, dir, "documents")),
     Some("""WITH tc AS (
       |  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt
       |  FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
@@ -341,13 +356,18 @@ object Curation {
       |    CAST(COUNT(*) AS BIGINT) AS common_terms,
       |    CAST(SUM(least(a.q, b.q)) AS BIGINT) AS sum_min
       |  FROM p a JOIN p b ON a.term = b.term AND a.source < b.source
-      |  GROUP BY a.source, b.source)
-      |SELECT source_a, source_b, common_terms,
-      |  qa.qtot + qb.qtot - 2 * sum_min AS tv_scaled,
-      |  CAST(qa.qtot + qb.qtot - 2 * sum_min AS DOUBLE) / 2000000.0 AS tv
-      |FROM pairs
-      |JOIN qt qa ON qa.source = pairs.source_a
-      |JOIN qt qb ON qb.source = pairs.source_b""".stripMargin))
+      |  GROUP BY a.source, b.source),
+      |grid AS (
+      |  SELECT a.source AS source_a, b.source AS source_b
+      |  FROM qt a JOIN qt b ON a.source < b.source)
+      |SELECT g.source_a, g.source_b,
+      |  CAST(COALESCE(pairs.common_terms, 0) AS BIGINT) AS common_terms,
+      |  qa.qtot + qb.qtot - 2 * CAST(COALESCE(pairs.sum_min, 0) AS BIGINT) AS tv_scaled,
+      |  CAST(qa.qtot + qb.qtot - 2 * COALESCE(pairs.sum_min, 0) AS DOUBLE) / 2000000.0 AS tv
+      |FROM grid g
+      |LEFT JOIN pairs ON pairs.source_a = g.source_a AND pairs.source_b = g.source_b
+      |JOIN qt qa ON qa.source = g.source_a
+      |JOIN qt qb ON qb.source = g.source_b""".stripMargin))
 
   val all: Seq[Q] = Seq(q88EvalCarveout, q89DomainMixture, q91LengthGates,
     q106TrainOrder, q107EpochShards, q110SourceSimilarity)

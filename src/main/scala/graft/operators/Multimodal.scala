@@ -169,7 +169,11 @@ object Multimodal {
           if (n == 0) 0.0 else s.toDouble / n))
       }
     } catch {
-      case _: java.io.IOException | _: RuntimeException => None
+      // Only the known ImageIO codec failure modes — a blanket RuntimeException
+      // catch would silently degrade a genuine decode-kernel bug (e.g. an NPE)
+      // to the fake path instead of surfacing it.
+      case _: java.io.IOException | _: IllegalArgumentException |
+           _: IndexOutOfBoundsException | _: java.awt.color.CMMException => None
     }
   }
 

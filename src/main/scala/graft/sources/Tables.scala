@@ -65,8 +65,12 @@ object Tables {
       batchsize: Int = 10000, overwrite: Boolean = true,
       properties: java.util.Properties = new java.util.Properties()): Unit = {
     val props = new java.util.Properties()
-    props.putAll(properties)
-    props.setProperty("batchsize", batchsize.toString)
+    // stringPropertyNames() walks the DEFAULTS chain too (putAll would not),
+    // and a caller-supplied batchsize wins over the parameter's default.
+    properties.stringPropertyNames().forEach(k =>
+      props.setProperty(k, properties.getProperty(k)))
+    if (props.getProperty("batchsize") == null)
+      props.setProperty("batchsize", batchsize.toString)
     df.write.mode(if (overwrite) "overwrite" else "append").jdbc(url, table, props)
   }
 

@@ -180,6 +180,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q110: a fully disjoint-vocabulary source pair still emits its row, tv ≈ 1") {
+    // regression guard: the pair grid is seeded from the source set, not
+    // from the common-term inner join — a pair sharing zero terms must
+    // appear with sum-of-mins 0 instead of being silently dropped.
+    val docs = Seq(
+      ("a", "alpha beta alpha gamma"),
+      ("a", "beta beta delta"),
+      ("b", "omega psi omega"),
+      ("c", "alpha omega")).toDF("source", "text")
+    val out = Curation.sourceTv(docs).orderBy("source_a", "source_b")
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(out.map(r => (r._1, r._2)).toSeq ==
+      Seq(("a", "b"), ("a", "c"), ("b", "c")), "every unordered pair present")
+    val ab = out.find(r => r._1 == "a" && r._2 == "b").get
+    assert(ab._3 == 0L, "disjoint pair has zero common terms")
+    // tv = (Q_a + Q_b)/2e6 — exactly 1 up to the floor-quantization deficit
+    assert(ab._5 > 0.99 && ab._5 <= 1.0, s"disjoint tv was ${ab._5}")
+    // overlapping pairs keep positive common_terms and tv strictly below 1
+    assert(out.filter(r => !(r._1 == "a" && r._2 == "b"))
+      .forall(r => r._3 > 0 && r._5 < 1.0))
+  }
+
   test("q101: blend arithmetic holds and ranks are a contiguous 1..10") {
     val out = Ranking.q101HybridRetrieval.run(spark, dir).cache()
     val rows = out.select(col("rank"), col("bm25"), col("cosine"), col("hybrid"))
