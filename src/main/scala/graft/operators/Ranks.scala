@@ -44,44 +44,36 @@ object Ranks {
     *
     * PRECONDITION: the sort-key columns must be NON-NULL for every row —
     * bucket assignment and the window's null ordering would otherwise
-    * disagree (silently wrong ranks), and a sampled null would NPE the
-    * driver sort. Wrap nullable keys in `coalesce` first.
+    * disagree (silently wrong ranks). ENFORCED at runtime: the bucket-id
+    * expression raises on any null key (codegen'd null check, one branch
+    * per row), and the driver sample pass rejects sampled nulls — a
+    * violating corpus fails loudly instead of mis-ranking. Wrap genuinely
+    * nullable keys in `coalesce` with a sentinel first.
     *
     * `sampleMod`: the splitter sample keeps rows whose key-hash ≡ 0 mod
-    * this; tune to ≈ N/(64·buckets) so the collected sample stays
-    * driver-sized at big N (any sample yields correct ranks — only balance
-    * varies; the cap below bounds the driver memory regardless). */
+    * this; a cheap pre-thin so the second-level cap (below) has less work.
+    * The cap itself is DETERMINISTIC and uniform at any N: the sample is
+    * the `64·buckets` survivors with the smallest salted key hash — a
+    * value-derived top-k (TakeOrderedAndProject: per-partition heads +
+    * bounded driver merge, never a full collect), totally ordered by
+    * (hash, key) so hash ties cannot make the sample depend on partition
+    * layout. An unordered `limit` here would draw the whole sample from
+    * whichever splits answered first — the exact skew the sampler exists
+    * to avoid. Any sample yields EXACT ranks; only balance varies. */
   def withGlobalOrder(df: DataFrame, order: Seq[Column], rankName: String,
       running: Seq[(Column, String)] = Nil, sampleMod: Int = 101,
       sampleOn: Option[Column] = None): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val buckets = parts * 4 // over-decompose: smooths hash collisions + skew
+    // over-decompose to smooth hash collisions + skew, but cap: bucket count
+    // only needs to exceed core count, and each bound is O(keys) literals in
+    // the plan — parts×4 uncapped would embed 40k literal tuples at a 10k-
+    // partition cluster config.
+    val buckets = math.min(parts * 4, 4096)
     val split = order.map(Bridge.splitSortOrder)
     val keyCols = split.map(_._1)
     val asc = split.map(_._2)
 
-    // 1. deterministic splitter sample → literal bounds (driver model state).
-    // `sampleOn`: thin on a hash of a CHEAP uniform column (e.g. the unique
-    // id) instead of the sort key itself — the filter then pushes below the
-    // key computation, so an expensive key (q84's scorer) is evaluated for
-    // the ~1/sampleMod survivors only, not the whole input, in this pass.
-    val thinned = sampleOn match {
-      case Some(c) => df.filter(pmod(xxhash64(c), lit(sampleMod)) === 0)
-      case None => df
-    }
-    val keyed = thinned.select(keyCols.zipWithIndex.map { case (c, i) => c.as(s"__k$i") }: _*)
-    val sample = (sampleOn match {
-      case Some(_) => keyed
-      case None =>
-        keyed.filter(pmod(xxhash64(keyed.columns.map(col): _*), lit(sampleMod)) === 0)
-    }).limit(1 << 20).collect()
-    val ord = rowOrdering(asc)
-    val sorted = sample.sortWith((a, b) => ord.compare(a, b) < 0)
-    val bounds: Seq[Row] =
-      if (sorted.isEmpty) Nil
-      else (1 until buckets)
-        .map(i => sorted((i.toLong * sorted.length / buckets).toInt))
-        .distinct
+    val bounds = splitterBounds(df, order, buckets, sampleMod, sampleOn)
     // binary search over the sorted bounds: expression size stays O(bounds)
     // but each row evaluates only O(log bounds) lexicographic comparisons —
     // at shuffle.partitions=200 that is ~10 predicates/row, not ~800.
@@ -94,7 +86,16 @@ object Ranks {
         when(afterBound(keyCols, asc, bounds(mid)), search(mid + 1, hi))
           .otherwise(search(lo, mid))
       }
-    val withPid = df.withColumn("__pid", search(0, bounds.length))
+    // Null guard (runtime, codegen'd one-branch-per-row): a NULL key would
+    // make every `afterBound` comparison NULL and silently drop the row into
+    // bucket 0 while the within-bucket window orders it NULLS FIRST/LAST —
+    // shifting ranks for every in-between row with no error. Fail loudly.
+    val anyKeyNull = keyCols.map(_.isNull).reduce(_ || _)
+    val pid = when(anyKeyNull, raise_error(lit(
+      "Ranks.withGlobalOrder: NULL sort-key value — keys must be non-null " +
+        "(wrap in coalesce with a sentinel); ranks would be corrupt")))
+      .otherwise(search(0, bounds.length))
+    val withPid = df.withColumn("__pid", pid)
 
     // 2. within-bucket rank / running sums (partitioned window — parallel)
     val wIn = Window.partitionBy(col("__pid")).orderBy(order: _*)
@@ -131,6 +132,61 @@ object Ranks {
     }
     joined.drop("__pid" :: "__within" :: "__poff" ::
       running.toList.flatMap { case (_, n) => List(s"__run_$n", s"__off_$n") }: _*)
+  }
+
+  /** The splitter-bound sample behind `withGlobalOrder` — exposed for the
+    * balance/determinism properties in GraftProps. Returns ≤ buckets−1
+    * sorted distinct key tuples (as Rows of __k0..__kn).
+    *
+    * Sampling: a cheap hash-mod pre-thin (`sampleMod`; on `sampleOn` when
+    * given, so the filter pushes below expensive key computation), then a
+    * DETERMINISTIC uniform cap — the `64·buckets` survivors with the
+    * smallest salted hash, totally ordered by (hash, key) so the sample is
+    * a pure function of the DATA VALUES: re-orderings, re-partitionings,
+    * and execution races cannot change it. Physically a
+    * TakeOrderedAndProject (per-partition bounded heads + bounded driver
+    * merge), so driver heap stays O(64·buckets·keyWidth) at any N. */
+  private[graft] def splitterBounds(df: DataFrame, order: Seq[Column],
+      buckets: Int, sampleMod: Int, sampleOn: Option[Column]): Seq[Row] = {
+    val split = order.map(Bridge.splitSortOrder)
+    val keyCols = split.map(_._1)
+    val asc = split.map(_._2)
+    val thinned = sampleOn match {
+      case Some(c) => df.filter(pmod(xxhash64(c), lit(sampleMod)) === 0)
+      case None => df
+    }
+    val sampleCap = 64 * buckets
+    // salt ≠ the mod filter's hash, so the top-k order is independent of the
+    // survivor pattern
+    val hashed = sampleOn match {
+      case Some(c) => thinned.select(
+        (xxhash64(lit("graft_rethin"), c).as("__h") +:
+          keyCols.zipWithIndex.map { case (k, i) => k.as(s"__k$i") }): _*)
+      case None =>
+        val keyed = thinned.select(
+          keyCols.zipWithIndex.map { case (c, i) => c.as(s"__k$i") }: _*)
+        keyed
+          .filter(pmod(xxhash64(keyed.columns.map(col): _*), lit(sampleMod)) === 0)
+          .select((xxhash64(lit("graft_rethin") +: keyed.columns.map(col): _*)
+            .as("__h") +: keyed.columns.map(col)): _*)
+    }
+    val keyNames = keyCols.indices.map(i => s"__k$i")
+    val sample = hashed
+      .orderBy((col("__h").asc +: keyNames.map(col(_).asc)): _*)
+      .limit(sampleCap)
+      .select(keyNames.map(col): _*)
+      .collect()
+    sample.foreach { r =>
+      require(!r.anyNull,
+        "Ranks.withGlobalOrder: sampled a NULL sort-key value — keys must be " +
+          "non-null (wrap in coalesce with a sentinel); ranks would be corrupt")
+    }
+    val ord = rowOrdering(asc)
+    val sorted = sample.sortWith((a, b) => ord.compare(a, b) < 0)
+    if (sorted.isEmpty) Nil
+    else (1 until buckets)
+      .map(i => sorted((i.toLong * sorted.length / buckets).toInt))
+      .distinct
   }
 
   /** "Row's key sorts strictly AFTER the bound tuple" as a Column predicate

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Properties, Test}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.{forAll, propBoolean}
 import graft.operators.{Aggregates, AsofJoin}
 
 /** Property-based invariants (SURVEY.md §5.3) on small generated relations.
@@ -319,6 +319,91 @@ object GraftProps extends Properties("graft") {
       val expOrder = rows.map { case (id, _, t) => (id, t) }
         .sortWith((a, b) => if (a._2 != b._2) utf8Lt(a._2, b._2) else a._1 < b._1)
       out.map(_._1).toSeq == expOrder.map(_._1)
+    }
+
+  private val genBoundsCase: Gen[(Int, Int)] = for {
+    n <- Gen.choose(1500, 3000) // > 64·16 sample cap -> re-thin engaged
+    style <- Gen.choose(0, 3)
+  } yield (n, style)
+
+  property("splitterBounds: value-derived under adversarial order, balanced buckets") =
+    forAll(genBoundsCase) { case (n, style) =>
+      val buckets = 16
+      val base = (1 to n).map(_.toLong)
+      val presented = style match {
+        case 0 => base
+        case 1 => base.reverse
+        case 2 => base.sortBy(x => x * 2654435761L % n) // pseudo-shuffled
+        case _ => base
+      }
+      val df0 = presented.toDF("id")
+      // adversarial physical layout: clustered ranges vs round-robin
+      val df = if (style == 3) df0.repartitionByRange(7, col("id"))
+               else df0.repartition(5)
+      val order = Seq(col("id").asc)
+      val a = graft.operators.Ranks.splitterBounds(df, order, buckets, 1, None)
+      // a DIFFERENT presentation of the same values must give the SAME bounds
+      val b = graft.operators.Ranks.splitterBounds(
+        base.reverse.toDF("id").repartition(3), order, buckets, 1, None)
+      val va = a.map(_.getLong(0))
+      val loads = {
+        // bucket of id = #bounds strictly before it (equal stays earlier)
+        val bs = va.toArray
+        val counts = new Array[Long](buckets)
+        base.foreach { id =>
+          var lo = 0; var hi = bs.length
+          while (lo < hi) { val m = (lo + hi) / 2; if (id > bs(m)) lo = m + 1 else hi = m }
+          counts(lo) += 1
+        }
+        counts.toSeq
+      }
+      val mean = n.toDouble / buckets
+      (a.map(_.getLong(0)) == b.map(_.getLong(0))) :| "bounds not value-derived" &&
+        (va == va.sorted && va.distinct == va) :| "bounds not sorted-distinct" &&
+        (loads.max <= 4 * mean) :| s"bucket skew: max ${loads.max} vs mean $mean"
+    }
+
+  // Tiny alphabet → heavy pair-count ties AND output-symbol collisions
+  // ("ab" arises as a merged symbol while (a,b)-style pairs still exist) —
+  // exactly the cases where a careless batch diverges from sequential BPE.
+  private val genBpeWords: Gen[List[String]] = Gen.nonEmptyListOf(for {
+    len <- Gen.choose(2, 6)
+    cs <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))
+  } yield cs.mkString).map(_.take(24))
+
+  property("batched BPE trainer equals a from-scratch sequential reference") =
+    forAll(genBpeWords) { wordList =>
+      val target = 6
+      // driver-side sequential reference (argmax + leftmost-greedy apply)
+      var vocab: Map[Vector[String], Long] = wordList.groupBy(identity)
+        .map { case (w, g) => w.split("").filter(_.nonEmpty).toVector -> g.size.toLong }
+      val expected = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var done = false
+      for (_ <- 0 until target if !done) {
+        val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+          pairs((syms(i), syms(i + 1))) = pairs.getOrElse((syms(i), syms(i + 1)), 0L) + f
+        if (pairs.isEmpty) done = true
+        else {
+          val ((l, r), cnt) = pairs.toSeq.minBy { case ((pl, pr), c) => (-c, pl, pr) }
+          expected += ((l, r, cnt))
+          vocab = vocab.toSeq.map { case (syms, f) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                out += (l + r); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            out.result() -> f
+          }.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+        }
+      }
+      val init = wordList.toDF("word")
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .select(expr("filter(split(word, ''), s -> s <> '')").as("syms"), col("freq"))
+      val (got, _) = graft.operators.TextAnalysis.bpeTrainFrom(init, target, maxBatch = 4)
+      got == expected.toSeq
     }
 
   private val genBoilerDocs: Gen[List[(Long, String, String)]] =
