@@ -726,35 +726,96 @@ object TextAnalysis {
     * rewrite; localCheckpoint truncates the per-round lineage growth. The
     * driver holds only the merge table. */
   def bpeTrain(spark: org.apache.spark.sql.SparkSession, dir: String,
-      rounds: Int): Seq[(String, String, Long)] = {
-    var cur = Tables(spark, dir, "documents")
+      rounds: Int): Seq[(String, String, Long)] =
+    bpeTrainFrom(initialSymbolState(spark, dir), rounds, maxBatch = 1)._1
+
+  /** Batched BPE training: EXACTLY the sequential `bpeTrain` merge table,
+    * in ~merges/maxBatch Spark supersteps instead of one per merge — the
+    * difference between 32k sequential jobs and ~2k for a production-size
+    * vocabulary. Returns (merge table, supersteps executed). See
+    * `bpeTrainFrom` for the exactness argument. */
+  def bpeTrainBatched(spark: org.apache.spark.sql.SparkSession, dir: String,
+      merges: Int, maxBatch: Int = 16): (Seq[(String, String, Long)], Int) =
+    bpeTrainFrom(initialSymbolState(spark, dir), merges, maxBatch)
+
+  /** Word-frequency symbol state (syms: Array[String], freq) — the
+    * Zipf-collapsed vocabulary-grain training state, NOT corpus-grain. */
+  private def initialSymbolState(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    Tables(spark, dir, "documents")
       .select(explode(words(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(expr("filter(split(word, ''), s -> s <> '')").as("syms"), col("freq"))
-      .localCheckpoint()
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+
+  /** The trainer loop over any (syms, freq) state. Each superstep collects
+    * the top (maxBatch+1) pair candidates in the pinned (count DESC, l ASC,
+    * r ASC) order and applies the longest SORTED PREFIX of them that is
+    *   (a) pairwise symbol-disjoint — no accepted pair shares l or r with
+    *       an earlier accepted pair's symbols OR ITS OUTPUT l+r (the output
+    *       string may already exist as a symbol from an earlier round, and
+    *       a merge must not be able to create occurrences of a later batch
+    *       member), and
+    *   (b) strictly above the first rejected candidate's count (only
+    *       enforced when accepting >1; a batch of one is trivially exact).
+    * Why this equals the one-merge-per-job sequential trainer: applying an
+    * accepted merge cannot change the count of any LATER accepted pair
+    * (disjoint symbols — the merge neither consumes nor produces them),
+    * and every other pair stays bounded by the first rejected count:
+    * non-accepted old pairs sort at or below it by construction (the batch
+    * is a prefix), merges only DECREASE overlapping old pairs, and each
+    * occurrence of a newly created pair (e.g. (lr, z)) maps injectively to
+    * an old occurrence of a pair sharing a symbol with the merge ((r, z)) —
+    * itself non-accepted, so ≤ the first rejected count < every accepted
+    * count. Hence the sequential argmax provably selects exactly the
+    * accepted pairs, in the accepted order, with the same recorded counts.
+    * Ties WITHIN the batch are fine (their relative order is the pinned
+    * tiebreak); a tie WITH the first rejected candidate shrinks the batch
+    * to the strict-drop boundary (worst case 1 = sequential behavior). */
+  private[graft] def bpeTrainFrom(init: DataFrame, merges: Int,
+      maxBatch: Int): (Seq[(String, String, Long)], Int) = {
+    require(maxBatch >= 1, "maxBatch must be >= 1")
+    var cur = init.localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var steps = 0
     var exhausted = false
-    for (_ <- 0 until rounds if !exhausted) {
-      val top = cur.filter(size(col("syms")) >= 2)
+    while (out.size < merges && !exhausted) {
+      val want = math.min(maxBatch, merges - out.size)
+      val cands = cur.filter(size(col("syms")) >= 2)
         .select(col("freq"),
           explode(sequence(lit(0), size(col("syms")) - 2)).as("i"), col("syms"))
         .select(element_at(col("syms"), col("i") + 1).as("l"),
           element_at(col("syms"), col("i") + 2).as("r"), col("freq"))
         .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
+        .limit(want + 1).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      steps += 1
+      if (cands.isEmpty) exhausted = true
       else {
-        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((l, r, cnt))
-        val next = cur.select(applyMerge(col("syms"), l, r).as("syms"), col("freq"))
+        // (a) longest symbol-disjoint prefix, capped at `want`
+        val used = scala.collection.mutable.Set.empty[String]
+        var m = 0
+        while (m < cands.length && m < want &&
+            !used(cands(m)._1) && !used(cands(m)._2)) {
+          used += cands(m)._1; used += cands(m)._2
+          used += cands(m)._1 + cands(m)._2 // the merge's output symbol
+          m += 1
+        }
+        // (b) strict count drop to the first rejected candidate (if any)
+        while (m > 1 && m < cands.length && cands(m - 1)._3 == cands(m)._3)
+          m -= 1
+        val batch = cands.take(m)
+        out ++= batch
+        val next = cur.select(
+          batch.foldLeft(col("syms")) { case (c, (l, r, _)) => applyMerge(c, l, r) }
+            .as("syms"), col("freq"))
           .localCheckpoint()
         cur.unpersist()
         cur = next
       }
     }
     cur.unpersist()
-    merges.toSeq
+    (out.toSeq, steps)
   }
 
   /** Apply a learned merge table to the corpus — the ENCODE side of the

@@ -46,6 +46,16 @@ class TrainLoopSpec extends AnyFunSuite {
     assert(got == expected.toSeq)
   }
 
+  test("bpeTrainBatched: merge table equals the sequential trainer, fewer supersteps") {
+    val target = 24
+    val seqMerges = TextAnalysis.bpeTrain(spark, dir, target)
+    val (batMerges, steps) = TextAnalysis.bpeTrainBatched(spark, dir, target, maxBatch = 8)
+    assert(batMerges == seqMerges, "batched trainer diverged from sequential")
+    // sequential = one superstep per merge; batching must actually batch
+    assert(steps < seqMerges.length,
+      s"no job-count reduction: $steps supersteps for ${seqMerges.length} merges")
+  }
+
   test("bpeEncode: applying the learned merges reproduces a driver-side encoder") {
     val merges = TextAnalysis.bpeTrain(spark, dir, 6).map { case (l, r, _) => (l, r) }
     def encodeWord(w: String): Vector[String] = {
