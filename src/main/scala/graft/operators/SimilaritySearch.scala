@@ -705,17 +705,28 @@ object SimilaritySearch {
     * bit-identical (`SimilaritySpec`), which also pins survivor-set
     * determinism at two corpus sizes. */
   def semdedupTrained(s: org.apache.spark.sql.SparkSession, dir: String,
-      iters: Int = 3, tau: Double = 0.3): org.apache.spark.sql.DataFrame = {
+      iters: Int = 3, tau: Double = 0.3): org.apache.spark.sql.DataFrame =
+    semdedupPrune(trainedAssignment(s, dir, iters), tau)
+
+  /** The √N̅-cluster Lloyd-trained assignment shared by `semdedupTrained`
+    * and `clusterCardsTrained`: train k ≈ √N coarse centroids with
+    * `kmeansIterateOn` (init = the k lowest-vec_id embeddings —
+    * deterministic, no RNG), then assign every embedding to its argmin
+    * centroid. Only k×d centroid doubles ever reach the driver (model
+    * state); the corpus stays distributed. Assignment picks its physical
+    * shape by k: plan-literal score columns up to k=64 (zero shuffle), the
+    * broadcast centroid-table argmin above (plan size O(1) in k — real √N̅
+    * cluster counts). The two paths are bit-identical (SimilaritySpec). */
+  private[graft] def trainedAssignment(s: org.apache.spark.sql.SparkSession,
+      dir: String, iters: Int = 3): org.apache.spark.sql.DataFrame = {
     val e = embWithNorm(s, dir)
     val n = e.count()
     val k = math.max(2, math.round(math.sqrt(n.toDouble)).toInt)
     val init = e.orderBy(col("vec_id")).limit(k)
       .select(col("emb")).collect().map(_.getSeq[Double](0).toArray).toSeq
     val (centroids, _) = kmeansIterateOn(e.select(col("emb")), iters, init)
-    val assigned =
-      if (centroids.length <= 64) assignLiteral(e, centroids)
-      else assignByTable(s, e, centroids)
-    semdedupPrune(assigned, tau)
+    if (centroids.length <= 64) assignLiteral(e, centroids)
+    else assignByTable(s, e, centroids)
   }
 
   /** q85 — SemDeDup (semantic dedup, Abbas et al. 2023 shape): assign every
@@ -773,12 +784,13 @@ object SimilaritySearch {
     * Scale: one corpus-grain term aggregate at (cid, term) — map-side
     * combinable; cluster-df and the rank window run over vocabulary-sized
     * relations, partitioned by cid. */
-  val q109ClusterCards: Q = Q(
-    "q109_cluster_cards",
-    (s, dir) => {
-      val assigned = assignLiteral(embWithNorm(s, dir), kmeansInit)
-        .select(col("vec_id"), col("cid"))
-      val terms = Tables(s, dir, "documents")
+  /** The topic-card report over ANY (vec_id, cid) assignment — q109
+    * anchors it on the literal k=4 centroids (oracle-hash-checkable);
+    * `clusterCardsTrained` composes the same report over the real
+    * √N̅-cluster trained model. */
+  private[graft] def clusterCards(assigned: org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val terms = docs
         .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("term"))
         .join(assigned, col("doc_id") === col("vec_id"))
       val tf = terms.groupBy(col("cid"), col("term")).agg(count(lit(1)).as("tf"))
@@ -791,7 +803,23 @@ object SimilaritySearch {
         .filter(col("rank") <= 5)
         .select(col("cid"), col("rank"), col("term"), col("tf"),
           col("cdf"), col("salience"))
-    },
+  }
+
+  /** Topic cards over the TRAINED clustering (√N̅ Lloyd centroids, same
+    * assignment as `semdedupTrained`) — the report a curator actually reads:
+    * one card per real cluster. Same vocabulary-grain plan as q109; the
+    * only difference is the assignment source. */
+  def clusterCardsTrained(s: org.apache.spark.sql.SparkSession, dir: String,
+      iters: Int = 3): org.apache.spark.sql.DataFrame =
+    clusterCards(
+      trainedAssignment(s, dir, iters).select(col("vec_id"), col("cid")),
+      Tables(s, dir, "documents"))
+
+  val q109ClusterCards: Q = Q(
+    "q109_cluster_cards",
+    (s, dir) => clusterCards(
+      assignLiteral(embWithNorm(s, dir), kmeansInit).select(col("vec_id"), col("cid")),
+      Tables(s, dir, "documents")),
     Some {
       val scoreDefs = kmeansInit.zipWithIndex.map { case (c, i) =>
         val cc = c.map(v => v * v).sum

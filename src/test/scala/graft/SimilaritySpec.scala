@@ -226,6 +226,29 @@ class SimilaritySpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("topic cards compose over the trained clustering: contiguous ranks, sane terms") {
+    val out = SimilaritySearch.clusterCardsTrained(spark, TestSpark.sf0001, iters = 2)
+      .cache()
+    val cids = SimilaritySearch.trainedAssignment(spark, TestSpark.sf0001, iters = 2)
+      .select(col("cid")).distinct().as[Long].collect().toSet
+    val byCid = out.select(col("cid"), col("rank"), col("term"), col("salience"))
+      .as[(Long, Long, String, Long)].collect().groupBy(_._1)
+    // every card belongs to a real trained cluster; clusters holding at
+    // least one document produce a card (doc_id = vec_id convention)
+    assert(byCid.keySet.subsetOf(cids))
+    assert(byCid.size > 4, "trained cards collapsed to the literal-k grain")
+    byCid.foreach { case (cid, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to rows.length), s"ranks not contiguous in $cid")
+      assert(rows.length <= 5)
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-_).toSeq,
+        s"salience not monotone in $cid")
+      assert(rows.map(_._3).distinct.length == rows.length,
+        s"duplicate card terms in $cid")
+    }
+    out.unpersist()
+  }
+
   test("optimizer rule rewrites the HOF dot pattern to the native expression, bit-exact") {
     val prev = spark.experimental.extraOptimizations
     // a real scan, so constant folding can't pre-evaluate the projection
