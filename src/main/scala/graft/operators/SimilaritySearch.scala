@@ -632,6 +632,16 @@ object SimilaritySearch {
       centroids: Seq[Array[Double]], tau: Double): org.apache.spark.sql.DataFrame =
     semdedupPrune(assignLiteral(embWithNorm(s, dir), centroids), tau)
 
+  /** Literal-path cutover: `nearestCid`'s argmin CASE chain is k(k-1)/2
+    * comparisons, so generated code grows QUADRATICALLY in k — at k=45 a
+    * probe showed janino's 64 KB method limit tripping and the whole stage
+    * silently falling back to interpreted execution (the worst of both
+    * paths). 16 keeps the chain at 120 comparisons, far under the limit,
+    * and everything larger takes `assignByTable`, whose plan is O(1) in k.
+    * The two paths are bit-identical (SimilaritySpec), so the cutover is a
+    * pure physical-plan choice. */
+  private[graft] val literalPathMaxK = 16
+
   /** Nearest-centroid assignment with centroids as PLAN LITERALS (one score
     * column per centroid) — zero extra shuffle, ideal for small k, but plan
     * width grows with k. Ties break to the lowest cid. */
@@ -700,7 +710,7 @@ object SimilaritySearch {
     * (model state); the corpus stays distributed.
     *
     * Assignment picks its physical shape by k: plan-literal score columns
-    * up to k=64 (zero shuffle), the broadcast centroid-table argmin above
+    * up to k=16 (zero shuffle; see literalPathMaxK), the broadcast centroid-table argmin above
     * (plan size O(1) in k — real √N̅ cluster counts). The two paths are
     * bit-identical (`SimilaritySpec`), which also pins survivor-set
     * determinism at two corpus sizes. */
@@ -714,7 +724,7 @@ object SimilaritySearch {
     * deterministic, no RNG), then assign every embedding to its argmin
     * centroid. Only k×d centroid doubles ever reach the driver (model
     * state); the corpus stays distributed. Assignment picks its physical
-    * shape by k: plan-literal score columns up to k=64 (zero shuffle), the
+    * shape by k: plan-literal score columns up to k=16 (zero shuffle; see literalPathMaxK), the
     * broadcast centroid-table argmin above (plan size O(1) in k — real √N̅
     * cluster counts). The two paths are bit-identical (SimilaritySpec). */
   private[graft] def trainedAssignment(s: org.apache.spark.sql.SparkSession,
@@ -725,7 +735,7 @@ object SimilaritySearch {
     val init = e.orderBy(col("vec_id")).limit(k)
       .select(col("emb")).collect().map(_.getSeq[Double](0).toArray).toSeq
     val (centroids, _) = kmeansIterateOn(e.select(col("emb")), iters, init)
-    if (centroids.length <= 64) assignLiteral(e, centroids)
+    if (centroids.length <= literalPathMaxK) assignLiteral(e, centroids)
     else assignByTable(s, e, centroids)
   }
 
