@@ -44,11 +44,13 @@ object Ranks {
     *
     * PRECONDITION: the sort-key columns must be NON-NULL for every row —
     * bucket assignment and the window's null ordering would otherwise
-    * disagree (silently wrong ranks). ENFORCED at runtime: the bucket-id
-    * expression raises on any null key (codegen'd null check, one branch
-    * per row), and the driver sample pass rejects sampled nulls — a
-    * violating corpus fails loudly instead of mis-ranking. Wrap genuinely
-    * nullable keys in `coalesce` with a sentinel first.
+    * disagree (silently wrong ranks). ENFORCED at runtime: a null key takes
+    * the sentinel bucket −1 (a codegen-friendly `when`, keeping the hot
+    * projection inside whole-stage codegen), the bucket-grain offsets
+    * relation raises on the sentinel (every consumer executes it), and the
+    * driver sample pass rejects sampled nulls — a violating corpus fails
+    * loudly instead of mis-ranking. Wrap genuinely nullable keys in
+    * `coalesce` with a sentinel first.
     *
     * `sampleMod`: the splitter sample keeps rows whose key-hash ≡ 0 mod
     * this; a cheap pre-thin so the second-level cap (below) has less work.
@@ -86,15 +88,21 @@ object Ranks {
         when(afterBound(keyCols, asc, bounds(mid)), search(mid + 1, hi))
           .otherwise(search(lo, mid))
       }
-    // Null guard (runtime, codegen'd one-branch-per-row): a NULL key would
-    // make every `afterBound` comparison NULL and silently drop the row into
-    // bucket 0 while the within-bucket window orders it NULLS FIRST/LAST —
-    // shifting ranks for every in-between row with no error. Fail loudly.
+    // Null guard: a NULL key would make every `afterBound` comparison NULL
+    // and silently drop the row into bucket 0 while the within-bucket window
+    // orders it NULLS FIRST/LAST — shifting ranks for every in-between row
+    // with no error. Fail loudly — but NOT with a per-row `raise_error` in
+    // this projection: RaiseError is not codegen-compatible, and one such
+    // expression evicts the WHOLE stage from whole-stage codegen, so every
+    // upstream column in the stage (for q84, the entire BM25 scorer over the
+    // words arrays) re-evaluates interpreted — measured 3× on q84/q104/q106.
+    // Instead NULL keys take the codegen-friendly sentinel bucket −1 here,
+    // and the raise lives in the OFFSETS relation below — bucket grain,
+    // ≤`buckets`+1 rows, executed by every consumer of the result (the rank
+    // join needs the offsets), so a violating corpus still fails loudly
+    // before any ranked row can be observed.
     val anyKeyNull = keyCols.map(_.isNull).reduce(_ || _)
-    val pid = when(anyKeyNull, raise_error(lit(
-      "Ranks.withGlobalOrder: NULL sort-key value — keys must be non-null " +
-        "(wrap in coalesce with a sentinel); ranks would be corrupt")))
-      .otherwise(search(0, bounds.length))
+    val pid = when(anyKeyNull, lit(-1)).otherwise(search(0, bounds.length))
     val withPid = df.withColumn("__pid", pid)
 
     // 2. within-bucket rank / running sums (partitioned window — parallel)
@@ -117,8 +125,17 @@ object Ranks {
     // corpus-size shuffle + one bucket-grain shuffle, at any input size.
     val wOff = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
     val totals = withPid.groupBy(col("__pid")).agg(
-      count(lit(1)).as("__pcnt"),
-      running.map { case (c, n) => sum(c).as(s"__ptot_$n") }: _*)
+        count(lit(1)).as("__pcnt"),
+        running.map { case (c, n) => sum(c).as(s"__ptot_$n") }: _*)
+      // the NULL-key raise (see the pid comment): evaluated once per BUCKET,
+      // not per row, so the corpus-grain projection stays inside whole-stage
+      // codegen while a NULL key still fails every action on the result
+      .withColumn("__pcnt",
+        when(col("__pid") === -1, raise_error(lit(
+          "Ranks.withGlobalOrder: NULL sort-key value — keys must be " +
+            "non-null (wrap in coalesce with a sentinel); ranks would be " +
+            "corrupt")).cast("long"))
+          .otherwise(col("__pcnt")))
     val offsets = running.foldLeft(
       totals.withColumn("__poff", coalesce(sum(col("__pcnt")).over(wOff), lit(0L)))) {
       case (d, (_, n)) =>

@@ -18,6 +18,8 @@ object BpeBatchProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warmup round: pay codegen/JIT outside either measurement
+    TextAnalysis.bpeTrainBatched(spark, sfDir, math.min(merges, 8), maxBatch)
     val t0 = System.nanoTime()
     val seq = TextAnalysis.bpeTrain(spark, sfDir, merges)
     val t1 = System.nanoTime()
