@@ -56,6 +56,32 @@ class TrainLoopSpec extends AnyFunSuite {
       s"no job-count reduction: $steps supersteps for ${seqMerges.length} merges")
   }
 
+  test("bpeTrainBatched: symbol-disjoint Zipf vocabulary fills every batch " +
+      "(supersteps == ceil(merges/maxBatch))") {
+    // The sf0.001 fixture is tie-heavy, so batches shrink at the strict-drop
+    // boundary and the job-count reduction there is modest. This fixture pins
+    // the scaladoc's other regime: distinct tail counts + symbol-disjoint top
+    // candidates (each "word" is 2 private Latin-Extended letters, Zipf-ish
+    // strictly decreasing freqs), where every batch must fill to maxBatch and
+    // the superstep count is exactly merges/maxBatch — the 32k-vocab → ~2k-job
+    // claim, demonstrated rather than argued.
+    val n = 40
+    val vocab = (0 until n).map { i =>
+      val l = (0x100 + 2 * i).toChar.toString
+      val r = (0x100 + 2 * i + 1).toChar.toString
+      (Seq(l, r), (2000 - 13 * i).toLong)
+    }
+    val init = vocab.toDF("syms", "freq")
+    val merges = 16
+    val (seqMerges, seqSteps) = TextAnalysis.bpeTrainFrom(init, merges, maxBatch = 1)
+    val (batMerges, batSteps) = TextAnalysis.bpeTrainFrom(init, merges, maxBatch = 8)
+    assert(batMerges == seqMerges, "batched trainer diverged from sequential")
+    assert(seqSteps == merges)
+    assert(batSteps == merges / 8, s"batches did not fill: $batSteps supersteps")
+    // the merge table is the vocabulary in strict frequency order
+    assert(batMerges.map(_._3) == vocab.take(merges).map(_._2))
+  }
+
   test("bpeEncode: applying the learned merges reproduces a driver-side encoder") {
     val merges = TextAnalysis.bpeTrain(spark, dir, 6).map { case (l, r, _) => (l, r) }
     def encodeWord(w: String): Vector[String] = {
