@@ -449,4 +449,47 @@ object GraftProps extends Properties("graft") {
         .toSet
       out == expected
     }
+
+  // Random multi-source corpora with tunable overlap: shared vocabulary
+  // "w0".."w7" plus per-source private words, so pairs range from
+  // near-identical to fully disjoint vocabularies.
+  private val genTvCorpus: Gen[List[(String, String)]] = for {
+    nSrc <- Gen.choose(2, 4)
+    texts <- Gen.sequence[List[String], String]((0 until nSrc).toList.map { s =>
+      for {
+        n <- Gen.choose(1, 12)
+        ws <- Gen.listOfN(n, Gen.frequency(
+          3 -> Gen.choose(0, 7).map(i => s"w$i"),
+          1 -> Gen.choose(0, 3).map(i => s"u${s}x$i")))
+      } yield ws.mkString(" ")
+    })
+  } yield texts.zipWithIndex.map { case (t, i) => (s"s$i", t) }
+
+  property("source TV matrix equals a from-scratch quantized reference on random corpora") =
+    forAll(genTvCorpus) { srcs =>
+      // driver reference: same 10^6 floor-div quantization as the operator
+      val counts: Map[String, Map[String, Long]] = srcs.map { case (s, t) =>
+        s -> t.trim.split("\\s+").toSeq.groupBy(identity).view
+          .mapValues(_.size.toLong).toMap
+      }.toMap
+      val q: Map[String, Map[String, Long]] = counts.map { case (s, cm) =>
+        val tot = cm.values.sum
+        s -> cm.map { case (w, c) => w -> (1000000L * c) / tot }
+      }
+      val qtot = q.map { case (s, m) => s -> m.values.sum }
+      val names = srcs.map(_._1).sorted
+      val expected = (for {
+        i <- names.indices; j <- (i + 1) until names.length
+        (a, b) = (names(i), names(j))
+        shared = q(a).keySet.intersect(q(b).keySet)
+      } yield {
+        val sumMin = shared.toSeq.map(w => math.min(q(a)(w), q(b)(w))).sum
+        (a, b) -> (shared.size.toLong, qtot(a) + qtot(b) - 2L * sumMin)
+      }).toMap
+      val out = graft.operators.Curation.sourceTv(srcs.toDF("source", "text"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      out == expected
+    }
 }
