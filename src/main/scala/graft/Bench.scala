@@ -1,9 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Round bench harness. Round-9 rework (VERDICT r8 item 1): the r7/r8
+  * artifacts were single-pass wall times captured as a TRUNCATED stdout
+  * tail — host-contention spikes polluted whole rounds (uniform ~1.3×
+  * drift on untouched queries) and the tail cut per-query numbers off
+  * mid-line (`parsed: null`). Now:
+  *   - `SPARK_GRAFT_BENCH_PASSES` (default 3) INTERLEAVED passes: pass p
+  *     runs every query once in fixed name order, so a contention burst
+  *     lands on at most one sample of each query instead of all samples
+  *     of a few; the reported number is the per-query MEDIAN.
+  *   - the full artifact (every sample + medians + env) is written to
+  *     `SPARK_GRAFT_BENCH_OUT` (default /tmp/graft_bench.json) — never
+  *     truncated, machine-readable regardless of how stdout is captured.
+  *   - stdout keeps the one-line driver contract, with seconds rounded to
+  *     4 decimals (0.1 ms — far below run-to-run noise) so the line stays
+  *     ~3 KB and survives tail-capture intact.
+  * Medians are WARM numbers: memoized persists (Dedup shingle relation)
+  * materialize during pass 1 and are reused by later passes, so the
+  * median reflects steady-state cost; caches release once at the end.
+  */
 object Bench {
+  private def r4(d: Double): Double = math.rint(d * 1e4) / 1e4
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,25 +37,51 @@ object Bench {
     // Untimed warmup: exercises codegen/JIT/parquet-footer paths once so the
     // first timed query doesn't absorb JVM warmup (flagship on sf0.001).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // fixed name order: deterministic cache-materialization attribution
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    // samples(name) = one wall time per pass, in pass order
+    val samples = scala.collection.mutable.LinkedHashMap(
+      named.map { case (n, _) => n -> Vector.empty[Double] }: _*)
+    for (_ <- 1 to passes; (name, fn) <- named) {
       System.gc() // don't charge query N with query N-1's garbage
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
     }
     graft.operators.Dedup.releaseCaches(spark) // free memoized persists
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def median(v: Vector[Double]): Double = {
+      val s = v.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+    val med = samples.map { case (n, v) => n -> median(v) }
+    val qs = med.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = r4(med.values.sum)
     // per-family subtotals (registry module grain): regressions attributable
     // at a glance once the query count is three digits
     val famOf = SparkEntry.families
-    val fams = results.groupBy { case (k, _) => famOf.getOrElse(k, "other") }
+    val fams = med.toSeq.groupBy { case (k, _) => famOf.getOrElse(k, "other") }
       .toSeq.sortBy(_._1)
-      .map { case (f, rs) => s"\"" + f + "\":" + rs.map(_._2).sum }
+      .map { case (f, rs) => s"\"" + f + "\":" + r4(rs.map(_._2).sum) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$fams,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""families":$fams,"sf":"$sfDir","passes":$passes,"stat":"median"}"""
+    // Full artifact — all samples per query, so a contaminated pass is
+    // visible in the record instead of needing an out-of-band re-run.
+    val detail = samples.map { case (n, v) =>
+      s"\"" + n + "\":{\"samples\":[" + v.map(r4).mkString(",") +
+        s"],\"median\":${r4(median(v))}}"
+    }.mkString("{", ",", "}")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+      s""""cpus":$cpus,"passes":$passes,"stat":"median",""" +
+      s""""families":$fams,"queries":$qs,"detail":$detail}"""
+    val p = java.nio.file.Paths.get(outPath)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p,
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(line)
     spark.stop()
   }
 }

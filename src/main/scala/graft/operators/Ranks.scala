@@ -47,7 +47,8 @@ object Ranks {
     * disagree (silently wrong ranks). ENFORCED at runtime: a null key takes
     * the sentinel bucket −1 (a codegen-friendly `when`, keeping the hot
     * projection inside whole-stage codegen), the bucket-grain offsets
-    * relation raises on the sentinel (every consumer executes it), and the
+    * relation raises on the sentinel via its join-key output (which column
+    * pruning can never remove — every consumer executes the join), and the
     * driver sample pass rejects sampled nulls — a violating corpus fails
     * loudly instead of mis-ranking. Wrap genuinely nullable keys in
     * `coalesce` with a sentinel first.
@@ -97,10 +98,11 @@ object Ranks {
     // upstream column in the stage (for q84, the entire BM25 scorer over the
     // words arrays) re-evaluates interpreted — measured 3× on q84/q104/q106.
     // Instead NULL keys take the codegen-friendly sentinel bucket −1 here,
-    // and the raise lives in the OFFSETS relation below — bucket grain,
-    // ≤`buckets`+1 rows, executed by every consumer of the result (the rank
-    // join needs the offsets), so a violating corpus still fails loudly
-    // before any ranked row can be observed.
+    // and the raise lives in the OFFSETS relation below on its JOIN-KEY
+    // output — bucket grain, ≤`buckets`+1 rows, and pruning-proof: even a
+    // consumer that drops the rank and every running sum still executes
+    // the broadcast join, which needs the key — so a violating corpus
+    // fails loudly before any output row can be observed.
     val anyKeyNull = keyCols.map(_.isNull).reduce(_ || _)
     val pid = when(anyKeyNull, lit(-1)).otherwise(search(0, bounds.length))
     val withPid = df.withColumn("__pid", pid)
@@ -127,20 +129,26 @@ object Ranks {
     val totals = withPid.groupBy(col("__pid")).agg(
         count(lit(1)).as("__pcnt"),
         running.map { case (c, n) => sum(c).as(s"__ptot_$n") }: _*)
-      // the NULL-key raise (see the pid comment): evaluated once per BUCKET,
-      // not per row, so the corpus-grain projection stays inside whole-stage
-      // codegen while a NULL key still fails every action on the result
-      .withColumn("__pcnt",
-        when(col("__pid") === -1, raise_error(lit(
-          "Ranks.withGlobalOrder: NULL sort-key value — keys must be " +
-            "non-null (wrap in coalesce with a sentinel); ranks would be " +
-            "corrupt")).cast("long"))
-          .otherwise(col("__pcnt")))
+    // the NULL-key raise (see the pid comment): evaluated once per BUCKET,
+    // not per row, so the corpus-grain projection stays inside whole-stage
+    // codegen. Attached to the offsets relation's __pid OUTPUT — the
+    // broadcast-JOIN KEY — not to __pcnt/__poff: a guard on an offset
+    // column is column-pruned away whenever a consumer keeps only a
+    // running-sum column (rank → __poff → sum(__pcnt) all dead under the
+    // standard raise_error-pruning caveat), and the sentinel bucket −1
+    // would then silently shift every bucket's offsets. The join key
+    // cannot be pruned — executing the join at all requires it — so every
+    // consumer of ANY output column still trips the raise.
+    val guardedPid = when(col("__pid") === -1, raise_error(lit(
+        "Ranks.withGlobalOrder: NULL sort-key value — keys must be " +
+          "non-null (wrap in coalesce with a sentinel); ranks would be " +
+          "corrupt")).cast("int"))
+      .otherwise(col("__pid")).as("__pid")
     val offsets = running.foldLeft(
       totals.withColumn("__poff", coalesce(sum(col("__pcnt")).over(wOff), lit(0L)))) {
       case (d, (_, n)) =>
         d.withColumn(s"__off_$n", coalesce(sum(col(s"__ptot_$n")).over(wOff), lit(0L)))
-    }.select(col("__pid") +: col("__poff") +:
+    }.select(guardedPid +: col("__poff") +:
       running.map { case (_, n) => col(s"__off_$n") }: _*)
     val joined = running.foldLeft(
       within.join(broadcast(offsets), "__pid")

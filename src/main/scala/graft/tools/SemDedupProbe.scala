@@ -6,9 +6,11 @@ import graft.operators.SimilaritySearch
 /** Scale probe for the TRAINED SemDeDup composition (VERDICT r7 item 3):
   * times `semdedupTrained` end-to-end (√N̅ Lloyd training + assignment +
   * cid-bucketed prune) and prints the executed assignment plan, so the
-  * large-k broadcast-table path (`assignByTable`, k > 64) is evidenced at
-  * 8× — the sf0.1 corpus (2 000 vecs → k ≈ 45) stays on the plan-literal
-  * path and never reaches it.
+  * large-k broadcast-table path (`assignByTable`,
+  * k > SimilaritySearch.literalPathMaxK = 16 since the r8 cutover — the
+  * k² CASE chain overflows codegen above that) is evidenced at scale.
+  * Note the sf0.1 corpus itself (2 000 vecs → k ≈ 45) now exercises
+  * `assignByTable` too; only tiny dirs (k ≤ 16) show the literal path.
   *
   * Usage: bash tools/run.sh graft.tools.SemDedupProbe <sfDir> [<sfDir>...]
   */

@@ -41,6 +41,13 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // Per-run checkpoint root: reusing a fixed dir makes a second run
+    // RESUME the rate source from stale committed offsets — the huge
+    // catch-up batches then skew processedRowsPerSecond, so every run must
+    // start from a fresh checkpoint.
+    val ckptRoot = java.nio.file.Files
+      .createTempDirectory("streambench_ckpt_").toString
+
     // --- 1. stateless chunker -------------------------------------------
     val docsStream = spark.readStream.format("rate")
       .option("rowsPerSecond", 100000).option("numPartitions", cpus.toInt)
@@ -51,7 +58,7 @@ object StreamBench {
     val chunkQ = TextAnalysis.chunk(docsStream)
       .writeStream.format("noop")
       .trigger(Trigger.ProcessingTime("2 seconds"))
-      .option("checkpointLocation", s"/tmp/streambench/chunk_ckpt")
+      .option("checkpointLocation", s"$ckptRoot/chunk_ckpt")
       .start()
     Thread.sleep(runSecs * 1000L)
     val chunkProg = chunkQ.recentProgress.drop(1)
@@ -73,7 +80,7 @@ object StreamBench {
     val dedupQ = StreamDedup.dedupStream(docDs, ttlMinutes = 10)
       .writeStream.format("noop").outputMode("append")
       .trigger(Trigger.ProcessingTime("2 seconds"))
-      .option("checkpointLocation", s"/tmp/streambench/dedup_ckpt")
+      .option("checkpointLocation", s"$ckptRoot/dedup_ckpt")
       .start()
     Thread.sleep(runSecs * 1000L)
     val dedupProg = dedupQ.recentProgress.drop(3)

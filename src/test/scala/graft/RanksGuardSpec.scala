@@ -24,6 +24,38 @@ class RanksGuardSpec extends AnyFunSuite {
       s"unexpected failure chain: ${rootChain(ex)}")
   }
 
+  test("guard survives column pruning: running-sum-only consumer still raises") {
+    // The r8 guard sat on __pcnt, which feeds only the rank column: a
+    // consumer keeping just a running sum (e.g. packEpochShards read for
+    // cum_tokens without train_pos) let Catalyst prune rank → __poff →
+    // sum(__pcnt) → the raise, and the sentinel bucket silently polluted
+    // every offset. The raise now rides the broadcast-join KEY, which no
+    // projection can prune — assert exactly that consumer shape fails.
+    val df = Seq((1L, "a", 10L), (2L, null, 20L), (3L, "c", 30L))
+      .toDF("id", "s", "w")
+    val ex = intercept[Throwable] {
+      Ranks.withGlobalOrder(df, Seq(col("s").asc, col("id").asc), "rank",
+          running = Seq((col("w"), "cum_w")))
+        .select("id", "cum_w") // rank pruned — the old guard vanished here
+        .collect()
+    }
+    assert(rootChain(ex).exists(_.contains("NULL sort-key")),
+      s"unexpected failure chain: ${rootChain(ex)}")
+  }
+
+  test("guard survives pruning of rank AND all running sums") {
+    // Keeps only an input column: the inner broadcast join itself is still
+    // required (it filters/matches on __pid), so the key-side raise fires.
+    val df = Seq((1L, "a"), (2L, null), (3L, "c")).toDF("id", "s")
+    val ex = intercept[Throwable] {
+      Ranks.withGlobalOrder(df, Seq(col("s").asc, col("id").asc), "rank")
+        .select("id")
+        .collect()
+    }
+    assert(rootChain(ex).exists(_.contains("NULL sort-key")),
+      s"unexpected failure chain: ${rootChain(ex)}")
+  }
+
   test("a sampled NULL key is rejected at plan time with the same message") {
     // sampleMod = 1 forces every row into the splitter sample
     val df = Seq((1L, "a"), (2L, null), (3L, "c")).toDF("id", "s")
