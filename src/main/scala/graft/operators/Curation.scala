@@ -90,8 +90,17 @@ object Curation {
     val packed = packEpochShards(keyed, tokenBudget)
       .select(col("doc_id"), col("predicted_lang"), col("quality_score"),
         col("tokens"), col("train_pos"), col("text"), col("shard_id"))
-    packed.repartition(col("shard_id"))
-      .write.mode("overwrite").partitionBy("shard_id").parquet(outPath)
+    // Staged write + rename swap (ScaleLayout.stagedSwap): a direct
+    // `overwrite` of an existing outPath deletes the old epoch BEFORE the
+    // job runs, so a mid-job task failure would leave the export neither
+    // old nor new. Staging keeps the previous epoch readable until the new
+    // one is fully committed; the swap is two directory renames.
+    val staging = outPath + ".stage"
+    val fs = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ScaleLayout.withFailpoint(packed.repartition(col("shard_id")), staging)
+      .write.mode("overwrite").partitionBy("shard_id").parquet(staging)
+    ScaleLayout.stagedSwap(fs, outPath, staging)
     spark.read.parquet(outPath)
       .withColumn("shard_id", col("shard_id").cast("long"))
   }

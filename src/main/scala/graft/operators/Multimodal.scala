@@ -288,17 +288,81 @@ object Multimodal {
       }
   }
 
+  /** Exclusive end offset of the JPEG frame starting at `from` (which must
+    * point at an SOI marker), or None for truncated/malformed data. Walks
+    * the REAL marker structure instead of searching for the EOI byte pair:
+    * length-prefixed segments (APPn/DQT/SOF/...) are skipped wholesale —
+    * so an EXIF APP1 whose embedded thumbnail contains its own EOI cannot
+    * cut the frame short — and SOS entropy data is scanned honoring byte
+    * stuffing (FF 00) and restart markers (FF D0–D7), the only FF forms
+    * that can legally appear inside a compressed scan. */
+  def jpegEnd(bytes: Array[Byte], from: Int): Option[Int] = {
+    val n = bytes.length
+    if (from + 2 > n || (bytes(from) & 0xff) != 0xff ||
+        (bytes(from + 1) & 0xff) != 0xd8) return None
+    var i = from + 2
+    while (i + 2 <= n) {
+      if ((bytes(i) & 0xff) != 0xff) return None // lost marker sync
+      // fill bytes: any number of FFs may pad before the marker code
+      while (i + 1 < n && (bytes(i + 1) & 0xff) == 0xff) i += 1
+      if (i + 2 > n) return None
+      val m = bytes(i + 1) & 0xff
+      if (m == 0xd9) return Some(i + 2) // EOI
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+      else if (m == 0xda) { // SOS: skip header, then scan entropy data
+        if (i + 4 > n) return None
+        i += 2 + (((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff))
+        var inScan = true
+        while (inScan && i < n) {
+          if ((bytes(i) & 0xff) != 0xff) i += 1
+          else if (i + 1 >= n) return None
+          else {
+            val c = bytes(i + 1) & 0xff
+            if (c == 0x00 || (c >= 0xd0 && c <= 0xd7)) i += 2 // stuffed/RST
+            else inScan = false // a real marker (EOI, DNL, next SOS…)
+          }
+        }
+        if (i >= n) return None
+      } else { // length-prefixed segment
+        if (i + 4 > n) return None
+        val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+        if (len < 2) return None
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** Split an MJPEG payload (back-to-back JPEG frames — what `ffmpeg -f
+    * mjpeg` emits) into frame byte ranges. Strict: frames must abut with
+    * no inter-frame garbage; returns the longest valid prefix of frames,
+    * or Nil if the payload doesn't start with a complete JPEG. */
+  def splitMjpeg(bytes: Array[Byte], maxFrames: Int): Seq[(Int, Int)] = {
+    val out = Seq.newBuilder[(Int, Int)]
+    var at = 0
+    var count = 0
+    while (count < maxFrames) {
+      jpegEnd(bytes, at) match {
+        case Some(end) => out += ((at, end)); at = end; count += 1
+        case None => count = maxFrames // stop
+      }
+    }
+    out.result()
+  }
+
   /** Typed frame row for the video-style frame-sampling path. */
   final case class FrameFeature(
       doc_id: Long, frame_idx: Long, frame_md5: String, mean_byte: Double)
 
   /** Frame sampling: one input blob → N frame feature rows (iterator-out
     * cardinality change, the flatMap batch shape a video decoder needs).
-    * REAL for concatenated-netpbm streams (the uncompressed frame format
-    * ffmpeg emits as `-f image2pipe -vcodec ppm`): frames are parsed
-    * back-to-back with `decodePnm` until the payload is exhausted. Payloads
-    * that are not netpbm streams fall back to the STUB fixed-size windowing
-    * standing in for a compressed codec's keyframe seek. */
+    * REAL for two stream formats: concatenated netpbm (the uncompressed
+    * format ffmpeg emits as `-f image2pipe -vcodec ppm`), split with
+    * `decodePnm`, and MJPEG (back-to-back JPEGs, ffmpeg `-f mjpeg`), split
+    * on the real marker structure with `jpegEnd` and decoded per-frame via
+    * ImageIO for true pixel statistics. Only payloads matching neither
+    * fall back to the STUB fixed-size windowing standing in for codecs the
+    * JVM cannot host. */
   def sampleFrames(spark: SparkSession, docsWithData: DataFrame, frameBytes: Int = 64,
       maxFrames: Int = 8): Dataset[FrameFeature] = {
     import spark.implicits._
@@ -327,10 +391,24 @@ object Multimodal {
                   f.dataEnd - (if (i == 0) 0 else frames(i - 1).dataEnd))
               }
             case None =>
-              // stub path for compressed containers
-              bytes.grouped(frameBytes).take(maxFrames).zipWithIndex.map { case (frame, i) =>
-                feature(id, i.toLong, frame, 0, frame.length)
-              }.toSeq
+              val jpegFrames = splitMjpeg(bytes, maxFrames)
+              if (jpegFrames.nonEmpty) {
+                // real MJPEG path: per-frame ImageIO decode for true pixel
+                // stats; a frame whose entropy data is corrupt despite a
+                // valid marker walk degrades to its raw byte mean
+                jpegFrames.zipWithIndex.map { case ((s0, e0), i) =>
+                  val frame = java.util.Arrays.copyOfRange(bytes, s0, e0)
+                  val mean = decodeRaster(frame).map(_.meanByte)
+                    .getOrElse(sampleMean(frame, 0, frame.length))
+                  FrameFeature(id, i.toLong,
+                    md.digest(frame).map("%02x".format(_)).mkString, mean)
+                }
+              } else {
+                // stub path for compressed containers the JVM cannot host
+                bytes.grouped(frameBytes).take(maxFrames).zipWithIndex.map { case (frame, i) =>
+                  feature(id, i.toLong, frame, 0, frame.length)
+                }.toSeq
+              }
           }
         }
       }

@@ -60,9 +60,12 @@ object Ranks {
     * value-derived top-k (TakeOrderedAndProject: per-partition heads +
     * bounded driver merge, never a full collect), totally ordered by
     * (hash, key) so hash ties cannot make the sample depend on partition
-    * layout. An unordered `limit` here would draw the whole sample from
-    * whichever splits answered first — the exact skew the sampler exists
-    * to avoid. Any sample yields EXACT ranks; only balance varies. */
+    * layout (string keys are prefix-thinned first — see splitterBounds —
+    * and rows tied on the thinned order have IDENTICAL output tuples, so
+    * the sample multiset is still a pure value function). An unordered
+    * `limit` here would draw the whole sample from whichever splits
+    * answered first — the exact skew the sampler exists to avoid. Any
+    * sample yields EXACT ranks; only balance varies. */
   def withGlobalOrder(df: DataFrame, order: Seq[Column], rankName: String,
       running: Seq[(Column, String)] = Nil, sampleMod: Int = 101,
       sampleOn: Option[Column] = None): DataFrame = {
@@ -170,7 +173,10 @@ object Ranks {
     * a pure function of the DATA VALUES: re-orderings, re-partitionings,
     * and execution races cannot change it. Physically a
     * TakeOrderedAndProject (per-partition bounded heads + bounded driver
-    * merge), so driver heap stays O(64·buckets·keyWidth) at any N. */
+    * merge), so driver heap stays O(64·buckets·keyWidth) at any N — with
+    * keyWidth itself capped at 64 chars for strings by the prefix thinning
+    * below, bounding the worst case (4096 buckets × 1 KB keys ≈ 0.5 GB of
+    * UTF-16 on the driver pre-thinning) at ~30 MB. */
   private[graft] def splitterBounds(df: DataFrame, order: Seq[Column],
       buckets: Int, sampleMod: Int, sampleOn: Option[Column]): Seq[Row] = {
     val split = order.map(Bridge.splitSortOrder)
@@ -196,7 +202,25 @@ object Ranks {
             .as("__h") +: keyed.columns.map(col)): _*)
     }
     val keyNames = keyCols.indices.map(i => s"__k$i")
-    val sample = hashed
+    // Adversarially wide STRING keys are thinned to a 64-char prefix BEFORE
+    // the driver collect: the sample is 64·buckets rows and each bound
+    // becomes a plan literal, so 1 KB keys at the 4096-bucket cap would
+    // hold ~0.5 GB on the driver (2 B/char UTF-16) and megabytes of plan
+    // state — for cut points whose exact values don't matter. Ranks are
+    // EXACT for ANY bound values (a bound is just a lexicographic cut);
+    // char-truncation preserves UTF-8 byte order (a char prefix is a byte
+    // prefix), so driver sort and executor `afterBound` comparisons still
+    // agree. Worst case a hot shared 64-char prefix collapses some bounds
+    // → fewer buckets → less balance, never wrong ranks. Non-string key
+    // types pass through untouched.
+    val thinned64 = hashed.select(col("__h") +: keyNames.map { n =>
+      hashed.schema(n).dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          substring(col(n), 1, 64).as(n)
+        case _ => col(n)
+      }
+    }: _*)
+    val sample = thinned64
       .orderBy((col("__h").asc +: keyNames.map(col(_).asc)): _*)
       .limit(sampleCap)
       .select(keyNames.map(col): _*)

@@ -60,16 +60,51 @@ object ScaleLayout {
 
   /** Swap `staging` into place at `path` with the source renamed aside
     * first: a crash mid-swap leaves the data recoverable at `path + ".old"`
-    * instead of deleted (the delete of the old copy is the LAST step). */
+    * instead of deleted (the delete of the old copy is the LAST step). A
+    * missing `path` (first-ever write) is fine: the rename-aside is a no-op
+    * and staging renames straight into place. */
   private[operators] def stagedSwap(fs: org.apache.hadoop.fs.FileSystem,
       path: String, staging: String): Unit = {
     import org.apache.hadoop.fs.Path
     val old = new Path(path + ".old")
     fs.delete(old, true)
-    fs.rename(new Path(path), old)
+    // existence-guarded: ChecksumFileSystem.rename THROWS on a missing
+    // source (copy fallback) rather than returning false, so a first-ever
+    // write must skip the rename-aside
+    if (fs.exists(new Path(path))) fs.rename(new Path(path), old)
     fs.rename(new Path(staging), new Path(path))
     fs.delete(old, true)
   }
+
+  /** Test-only failpoint for the crash-consistency specs: when set to
+    * Some(marker, n), a staged write whose STAGING path contains `marker`
+    * throws in task 0 after emitting n rows — a deterministic mid-job task
+    * failure, injected between the plan and the sink exactly where a lost
+    * executor would land. Path-scoped so concurrently running suites
+    * cannot poison each other's writes; never set outside tests. */
+  private[graft] val failpoint =
+    new java.util.concurrent.atomic.AtomicReference[Option[(String, Int)]](None)
+
+  /** Route a to-be-written DataFrame through the failpoint (no-op — the
+    * very same plan — unless `failpoint` targets `stagingPath`). */
+  private[graft] def withFailpoint(df: DataFrame, stagingPath: String): DataFrame =
+    failpoint.get() match {
+      case Some((marker, n)) if stagingPath.contains(marker) =>
+        implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+          org.apache.spark.sql.Encoders.row(df.schema)
+        df.mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          var seen = 0
+          it.map { r =>
+            seen += 1
+            if (pid == 0 && seen > n)
+              throw new RuntimeException(
+                "graft failpoint: injected mid-write task failure")
+            r
+          }
+        }
+      case _ => df
+    }
 
   /** Small-file compaction for a parquet lake directory — the steady-state
     * maintenance job a 100 TB lake cannot live without (streaming sinks and
@@ -94,9 +129,10 @@ object ScaleLayout {
     val src = spark.read.parquet(path)
     if (parts.isEmpty) {
       val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-      src.repartition(n).write.mode("overwrite").parquet(staging)
+      withFailpoint(src.repartition(n), staging)
+        .write.mode("overwrite").parquet(staging)
     } else {
-      src.repartition(parts.map(col): _*)
+      withFailpoint(src.repartition(parts.map(col): _*), staging)
         .write.mode("overwrite").partitionBy(parts: _*).parquet(staging)
     }
     val (filesAfter, _) = parquetInventory(fs, staging)
@@ -126,7 +162,7 @@ object ScaleLayout {
       .filter(col("__rn") === 1)
       .drop("__rn", "__src")
     val staging = path + ".merge"
-    merged.write.mode("overwrite").parquet(staging)
+    withFailpoint(merged, staging).write.mode("overwrite").parquet(staging)
     stagedSwap(fs, path, staging)
   }
 

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Curation, Dedup}
+import graft.operators.{Curation, Dedup, ScaleLayout}
 
 /** End-to-end: curation verdicts → survivors → token shards → partitioned
   * corpus write. The composition a library user runs as one call. */
@@ -75,5 +75,36 @@ class CurationSpec extends AnyFunSuite {
     shards.dropRight(1).foreach { case (id, total, mx) =>
       assert(total + mx >= 1000L, s"epoch shard $id underfilled: $total")
     }
+  }
+
+  test("kill-and-resume: epoch re-export keeps the OLD epoch until the new one commits") {
+    def rootChain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    val out = Files.createTempDirectory("graft-epoch-kill").toString + "/epoch"
+    Curation.exportEpoch(spark, TestSpark.sf0001, out, epoch = 1, tokenBudget = 1000L)
+    val snap = spark.read.parquet(out)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    // re-export for epoch 2 dies mid-write: the overwrite of a live export
+    // path must not tear it (the pre-fix direct overwrite deleted the old
+    // epoch before the job ran — a reader mid-failure saw NOTHING)
+    ScaleLayout.failpoint.set(Some(("graft-epoch-kill", 1)))
+    try {
+      val ex = intercept[Throwable] {
+        Curation.exportEpoch(spark, TestSpark.sf0001, out, epoch = 2,
+          tokenBudget = 1000L)
+      }
+      assert(rootChain(ex).exists(_.contains("graft failpoint")),
+        s"unexpected failure chain: ${rootChain(ex)}")
+    } finally ScaleLayout.failpoint.set(None)
+    assert(spark.read.parquet(out).orderBy("doc_id").collect()
+      .map(_.toString).toSeq == snap, "old epoch torn by failed re-export")
+    // resume: the retry commits epoch 2 whole
+    val e2 = Curation.exportEpoch(spark, TestSpark.sf0001, out, epoch = 2,
+      tokenBudget = 1000L)
+    val p2 = e2.select("doc_id", "train_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p2.values.toSeq.sorted == (1L to p2.size.toLong))
+    assert(spark.read.parquet(out).count() == p2.size.toLong)
   }
 }

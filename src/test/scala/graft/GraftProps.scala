@@ -321,6 +321,36 @@ object GraftProps extends Properties("graft") {
       out.map(_._1).toSeq == expOrder.map(_._1)
     }
 
+  private val genWideRows: Gen[(List[(Long, String)], Int)] = for {
+    n <- Gen.choose(60, 140)
+    regime <- Gen.choose(0, 2) // 0: diverse prefixes; 1: 80-char shared
+                               // prefix (straddles the 64-char thin cut);
+                               // 2: 100-char identical prefix (all bounds
+                               // collapse to one value -> 2 buckets max)
+  } yield {
+    val pref = regime match {
+      case 0 => ""; case 1 => "p" * 80; case _ => "q" * 100
+    }
+    ((1 to n).map(i =>
+      (i.toLong, pref + s"k${i % 37}" + "z" * 300 + i.toString)).toList, regime)
+  }
+
+  property("wide string keys: splitter bounds prefix-thinned to <=64 chars, ranks exact") =
+    forAll(genWideRows) { case (rows, _) =>
+      val df = rows.toDF("id", "s")
+      val order = Seq(col("s").asc, col("id").asc)
+      val bounds = graft.operators.Ranks.splitterBounds(df, order, 16, 1, None)
+      // driver-held/plan-literal bound width is capped even for ~400-char keys
+      val widthOk = bounds.forall(_.getString(0).length <= 64)
+      val out = graft.operators.Ranks.withGlobalOrder(df, order, "rank",
+          sampleMod = 1)
+        .select("id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+      val exp = rows.sortWith((a, b) =>
+        if (a._2 != b._2) utf8Lt(a._2, b._2) else a._1 < b._1)
+      widthOk && out.map(_._1).toSeq == exp.map(_._1)
+    }
+
   private val genBoundsCase: Gen[(Int, Int)] = for {
     n <- Gen.choose(1500, 3000) // > 64·16 sample cap -> re-thin engaged
     style <- Gen.choose(0, 3)

@@ -108,6 +108,66 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.map(_.frame_md5).distinct.length == 3)
   }
 
+  /** A solid-color JPEG via the JDK's own encoder. */
+  private def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos), "ImageIO lacks jpg")
+    bos.toByteArray
+  }
+
+  test("MJPEG decode is REAL: marker-walk split + per-frame ImageIO pixel stats") {
+    // three solid-color frames; JPEG encodes solid color near-losslessly,
+    // so each decoded frame mean must land within 2 of its true color
+    val colors = Seq(0x202020, 0x808080, 0xe0e0e0)
+    val stream = colors.map(jpeg(16, 8, _)).reduce(_ ++ _)
+    val docs = Seq((11L, stream)).toDF("doc_id", "data")
+    val frames = Multimodal.sampleFrames(spark, docs, maxFrames = 8)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length == 3)
+    frames.zip(Seq(0x20, 0x80, 0xe0)).foreach { case (f, c) =>
+      assert(math.abs(f.mean_byte - c) < 2.0,
+        s"frame ${f.frame_idx}: mean ${f.mean_byte} vs solid color $c")
+    }
+    assert(frames.map(_.frame_md5).distinct.length == 3)
+    // maxFrames caps the split
+    assert(Multimodal.sampleFrames(spark, docs, maxFrames = 2)
+      .collect().length == 2)
+  }
+
+  test("jpegEnd skips an EXIF APP1 whose embedded thumbnail contains an EOI") {
+    // naive FFD9 search would cut the frame inside the APP1 payload; the
+    // marker walk must skip the whole length-prefixed segment instead
+    val base = jpeg(8, 8, 0x404040)
+    val thumbish = Array[Byte](
+      'E', 'x', 'i', 'f', 0, 0,
+      0xff.toByte, 0xd8.toByte, 0x55, 0x55, 0xff.toByte, 0xd9.toByte)
+    val app1 = Array[Byte](0xff.toByte, 0xe1.toByte,
+      (((thumbish.length + 2) >> 8) & 0xff).toByte,
+      ((thumbish.length + 2) & 0xff).toByte) ++ thumbish
+    val withExif = base.take(2) ++ app1 ++ base.drop(2)
+    assert(Multimodal.jpegEnd(withExif, 0).contains(withExif.length))
+    // and in a 2-frame stream the second frame is still found intact
+    val stream = withExif ++ jpeg(8, 8, 0xa0a0a0)
+    val splits = Multimodal.splitMjpeg(stream, 8)
+    assert(splits == Seq((0, withExif.length), (withExif.length, stream.length)))
+  }
+
+  test("a truncated trailing MJPEG frame yields the valid prefix, garbage yields the stub") {
+    val f1 = jpeg(8, 8, 0x606060)
+    val f2 = jpeg(8, 8, 0x909090)
+    val truncStream = f1 ++ f2.dropRight(7)
+    assert(Multimodal.splitMjpeg(truncStream, 8) == Seq((0, f1.length)))
+    val frames = Multimodal.sampleFrames(spark,
+        Seq((13L, truncStream)).toDF("doc_id", "data"), maxFrames = 8)
+      .collect()
+    assert(frames.length == 1 && math.abs(frames(0).mean_byte - 0x60) < 2.0)
+    // non-JPEG payloads never enter the MJPEG path (stub windowing instead)
+    assert(Multimodal.splitMjpeg("plain text".getBytes, 8).isEmpty)
+  }
+
   test("decodeWav parses real PCM16 WAV payloads and rejects non-PCM/truncated ones") {
     def wav(channels: Int, rate: Int, samples: Seq[Short],
         extraChunk: Boolean = false): Array[Byte] = {

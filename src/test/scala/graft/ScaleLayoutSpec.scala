@@ -148,6 +148,58 @@ class ScaleLayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == 4)
   }
 
+  private def rootChain(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+      .map(e => Option(e.getMessage).getOrElse("")).toSeq
+
+  test("kill-and-resume: a mid-write failure leaves compact's target OLD, never torn") {
+    val path = Files.createTempDirectory("graft-compact-kill").toString + "/frag"
+    val events = Tables(spark, TestSpark.sf0001, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    events.repartition(20).write.mode("overwrite").parquet(path)
+    val before = spark.read.parquet(path).orderBy("event_id").collect().toSeq
+    // inject: task 0 of the staging write dies after 5 rows, mid-job
+    ScaleLayout.failpoint.set(Some(("graft-compact-kill", 5)))
+    try {
+      val ex = intercept[Throwable] {
+        ScaleLayout.compact(spark, path, targetBytes = 1L << 20)
+      }
+      assert(rootChain(ex).exists(_.contains("graft failpoint")),
+        s"unexpected failure chain: ${rootChain(ex)}")
+    } finally ScaleLayout.failpoint.set(None)
+    // the target is byte-identical to the old table — the partial staging
+    // output never swapped in
+    assert(spark.read.parquet(path).orderBy("event_id").collect().toSeq == before)
+    // resume: a plain retry compacts from the intact target (stale staging
+    // leftovers are overwritten) and still changes nothing semantically
+    val (b2, a2) = ScaleLayout.compact(spark, path, targetBytes = 1L << 20)
+    assert(a2 < b2, s"resume did not compact: $b2 -> $a2")
+    assert(spark.read.parquet(path).orderBy("event_id").collect().toSeq == before)
+  }
+
+  test("kill-and-resume: a mid-write failure leaves mergeUpsert's base intact") {
+    val path = Files.createTempDirectory("graft-merge-kill").toString + "/tbl"
+    spark.range(200).select(col("id"), concat(lit("v"), col("id")).as("payload"),
+      lit(1L).as("version")).write.parquet(path)
+    val before = spark.read.parquet(path).orderBy("id").collect().toSeq
+    val updates = spark.range(50).select(col("id"),
+      concat(lit("u"), col("id")).as("payload"), lit(2L).as("version"))
+    ScaleLayout.failpoint.set(Some(("graft-merge-kill", 5)))
+    try {
+      val ex = intercept[Throwable] {
+        ScaleLayout.mergeUpsert(spark, path, updates, "id", "version")
+      }
+      assert(rootChain(ex).exists(_.contains("graft failpoint")),
+        s"unexpected failure chain: ${rootChain(ex)}")
+    } finally ScaleLayout.failpoint.set(None)
+    assert(spark.read.parquet(path).orderBy("id").collect().toSeq == before)
+    // resume: the retry merges cleanly from the intact base
+    ScaleLayout.mergeUpsert(spark, path, updates, "id", "version")
+    val out = spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 200 && out(7L) == "u7" && out(150L) == "v150")
+  }
+
   test("sorted-range write produces disjoint per-file key ranges") {
     val path = Files.createTempDirectory("graft-sortrange").toString + "/li"
     val li = Tables(spark, TestSpark.sf0001, "lineitem")
