@@ -56,6 +56,20 @@ object Cleanse {
 
   /** Exact-sum-of-doubles helper: per-row IEEE arithmetic (deterministic and
     * engine-identical) → exact decimal cast → order-independent SUM. Callers
-    * cast the result back to double for oracle-type parity. */
+    * report the result back as double via `moneyReport`. */
   def moneySum(perRow: Column): Column = sum(money(perRow))
+
+  /** Final money REPORT: round the exact decimal sum to CENTS, then cast to
+    * double. A direct DECIMAL(·,6)→DOUBLE cast is engine-portable only
+    * while the unscaled value fits in 2^53 — Spark rounds exactly via
+    * BigDecimal, DuckDB divides doubles — which a corpus-scale sum crosses
+    * at sf1 (~5e16 unscaled: the q01 sum_charge last-ulp mismatch the
+    * first sf1 sweep caught). Rounding to the true reporting grain first
+    * drops the unscaled value 10^4 below the bound (exact casts up to
+    * ~9e13 money — four more SF decades), and cents IS the scale a money
+    * report means. Tie behavior matches by construction: Spark `round` on
+    * decimal is HALF_UP, DuckDB `ROUND` on decimal ties away from zero,
+    * and both return a scale-2 decimal. Oracle-side lockstep form:
+    * `CAST(ROUND(SUM(CAST(x AS DECIMAL(18,6))), 2) AS DOUBLE)`. */
+  def moneyReport(decSum: Column): Column = round(decSum, 2).cast("double")
 }

@@ -21,17 +21,16 @@ object CoreQueries {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        moneySum(col("l_extendedprice")).cast("double").as("sum_base_price"),
-        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("double").as("sum_disc_price"),
-        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
-          .cast("double").as("sum_charge"),
+        moneyReport(moneySum(col("l_extendedprice"))).as("sum_base_price"),
+        moneyReport(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        moneyReport(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
         avg(col("l_quantity")).as("avg_qty"),
         count(lit(1)).as("count_order")),
     Some("""SELECT l_returnflag, l_linestatus,
       |  SUM(l_quantity) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
       |  AVG(l_quantity) AS avg_qty,
       |  COUNT(*) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin))
@@ -47,10 +46,10 @@ object CoreQueries {
         col("l_discount").between(0.02, 0.06) &&
         col("l_quantity") < 24)
       .agg(
-        moneySum(col("l_extendedprice") * col("l_discount")).cast("double").as("promo_revenue"),
+        moneyReport(moneySum(col("l_extendedprice") * col("l_discount"))).as("promo_revenue"),
         count(lit(1)).as("n_rows")),
     Some("""SELECT
-      |  CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS promo_revenue,
       |  COUNT(*) AS n_rows
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '2024-01-01' AND l_shipdate < TIMESTAMP '2024-07-01'
@@ -65,10 +64,10 @@ object CoreQueries {
       .groupBy(col("o_orderpriority"))
       .agg(
         countDistinct(col("o_orderkey")).as("order_count"),
-        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("double").as("revenue")),
+        moneyReport(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue")),
     Some("""SELECT o_orderpriority,
       |  COUNT(DISTINCT o_orderkey) AS order_count,
-      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |  CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin))
 
@@ -214,11 +213,11 @@ object CoreQueries {
       .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
       .agg(
         count(lit(1)).as("order_count"),
-        moneySum(col("o_totalprice")).cast("double").as("month_revenue"))
+        moneyReport(moneySum(col("o_totalprice"))).as("month_revenue"))
       .withColumn("order_year", year(col("order_month")).cast("long")),
     Some("""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
       |  COUNT(*) AS order_count,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS month_revenue,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS month_revenue,
       |  CAST(year(o_orderdate) AS BIGINT) AS order_year
       |FROM orders GROUP BY 1, 4""".stripMargin))
 
@@ -281,9 +280,9 @@ object CoreQueries {
       .rollup(col("o_orderpriority"), col("o_orderstatus"))
       .agg(
         count(lit(1)).as("order_count"),
-        moneySum(col("o_totalprice")).cast("double").as("revenue")),
+        moneyReport(moneySum(col("o_totalprice"))).as("revenue")),
     Some("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS order_count,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
       |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin))
 
   /** CUBE over (returnflag, linestatus) with `grouping_id` — completes the
@@ -298,10 +297,10 @@ object CoreQueries {
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(
         count(lit(1)).as("row_count"),
-        moneySum(col("l_extendedprice")).cast("double").as("revenue"),
+        moneyReport(moneySum(col("l_extendedprice"))).as("revenue"),
         grouping_id().cast("long").as("gid")),
     Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS row_count,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
       |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin))
 
@@ -554,10 +553,10 @@ object CoreQueries {
         .groupBy(col("tier"))
         .agg(
           count(lit(1)).as("n_events"),
-          moneySum(col("value")).cast("double").as("total_value"))
+          moneyReport(moneySum(col("value"))).as("total_value"))
     },
     Some("""SELECT u.tier, COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |  CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
       |FROM events e
       |JOIN (SELECT user_id, user_id % 3 AS tier
       |      FROM (SELECT DISTINCT user_id FROM events) du) u
@@ -686,11 +685,10 @@ object CoreQueries {
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("double").as("revenue"))
+        .agg(moneyReport(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
     },
     Some("""SELECT n_name,
-      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |  CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
       |FROM customer, orders, lineitem, supplier, nation, region
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -723,11 +721,11 @@ object CoreQueries {
         .groupBy(col("snapshot"), coalesce(col("o_orderpriority"), lit("<pre-evolution>"))
           .as("priority"))
         .agg(count(lit(1)).as("n_orders"),
-          moneySum(col("o_totalprice")).cast("double").as("revenue"))
+          moneyReport(moneySum(col("o_totalprice"))).as("revenue"))
     },
     Some("""SELECT snapshot, COALESCE(o_orderpriority, '<pre-evolution>') AS priority,
       |  COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
       |FROM (
       |  SELECT o_orderkey, o_orderstatus, o_totalprice,
       |         NULL AS o_orderpriority, 'v1' AS snapshot
@@ -785,11 +783,11 @@ object CoreQueries {
         .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
         .agg(
           count(lit(1)).as("purchases"),
-          moneySum(col("value")).cast("double").as("attributed_revenue"))
+          moneyReport(moneySum(col("value"))).as("attributed_revenue"))
     },
     Some("""SELECT COALESCE(touch, 'direct') AS channel,
       |  COUNT(*) AS purchases,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_revenue
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS attributed_revenue
       |FROM (
       |  SELECT event_type, value,
       |    LAST_VALUE(CASE WHEN event_type IN ('click','view','signup')
@@ -808,13 +806,13 @@ object CoreQueries {
     (s, dir) => {
       Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
       s.sql("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS order_count,
-              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+              |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
               |FROM orders_v
               |GROUP BY o_orderpriority, o_orderstatus
               |HAVING COUNT(*) > 10""".stripMargin)
     },
     Some("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS order_count,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
       |FROM orders
       |GROUP BY o_orderpriority, o_orderstatus
       |HAVING COUNT(*) > 10""".stripMargin))
@@ -930,7 +928,7 @@ object CoreQueries {
     (s, dir) => {
       val o = Tables(s, dir, "orders")
       val monthly = o.groupBy(date_trunc("month", col("o_orderdate")).as("month"))
-        .agg(moneySum(col("o_totalprice")).cast("double").as("revenue"))
+        .agg(moneyReport(moneySum(col("o_totalprice"))).as("revenue"))
       val spine = o.agg(
           date_trunc("month", min(col("o_orderdate"))).as("lo"),
           date_trunc("month", max(col("o_orderdate"))).as("hi"))
@@ -942,7 +940,7 @@ object CoreQueries {
     },
     Some("""WITH monthly AS (
       |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
-      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
       |  FROM orders GROUP BY 1),
       |b AS (SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS TIMESTAMP) AS lo,
       |             CAST(date_trunc('month', MAX(o_orderdate)) AS TIMESTAMP) AS hi
