@@ -47,8 +47,9 @@ object Ranks {
     * disagree (silently wrong ranks). ENFORCED at runtime: a null key takes
     * the sentinel bucket −1 (a codegen-friendly `when`, keeping the hot
     * projection inside whole-stage codegen), the bucket-grain offsets
-    * relation raises on the sentinel via its join-key output (which column
-    * pruning can never remove — every consumer executes the join), and the
+    * relation raises on the sentinel via a FILTER (which column pruning
+    * can never remove — every consumer executes the join that
+    * materializes it), and the
     * driver sample pass rejects sampled nulls — a violating corpus fails
     * loudly instead of mis-ranking. Wrap genuinely nullable keys in
     * `coalesce` with a sentinel first.
@@ -101,11 +102,11 @@ object Ranks {
     // upstream column in the stage (for q84, the entire BM25 scorer over the
     // words arrays) re-evaluates interpreted — measured 3× on q84/q104/q106.
     // Instead NULL keys take the codegen-friendly sentinel bucket −1 here,
-    // and the raise lives in the OFFSETS relation below on its JOIN-KEY
-    // output — bucket grain, ≤`buckets`+1 rows, and pruning-proof: even a
-    // consumer that drops the rank and every running sum still executes
-    // the broadcast join, which needs the key — so a violating corpus
-    // fails loudly before any output row can be observed.
+    // and the raise lives in the OFFSETS relation below as a FILTER —
+    // bucket grain, ≤`buckets`+1 rows, and pruning-proof: even a consumer
+    // that drops the rank and every running sum still executes the
+    // broadcast join, which materializes the filtered relation — so a
+    // violating corpus fails loudly before any output row can be observed.
     val anyKeyNull = keyCols.map(_.isNull).reduce(_ || _)
     val pid = when(anyKeyNull, lit(-1)).otherwise(search(0, bounds.length))
     val withPid = df.withColumn("__pid", pid)
@@ -129,29 +130,39 @@ object Ranks {
     // Net physical cost of the whole helper: two map passes + ONE
     // corpus-size shuffle + one bucket-grain shuffle, at any input size.
     val wOff = Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)
+    // the NULL-key raise (see the pid comment): evaluated once per BUCKET,
+    // not per row, so the corpus-grain projection stays inside whole-stage
+    // codegen. Expressed as a FILTER on the bucket-grain relation, NOT a
+    // projection: a guard riding an output COLUMN is column-pruned away
+    // whenever a consumer keeps only a subset (the r8 __pcnt guard
+    // vanished for running-sum-only consumers — ADVICE r9 — and sentinel
+    // bucket −1 silently shifted every offset), while a filter survives
+    // any projection because pruning removes columns, never predicates,
+    // and the inner broadcast join always materializes this relation. And
+    // NOT inside the join-key output either: a raise_error inside the
+    // build key expression measured 3× on q84/q104/q106 (the r9 bench
+    // diff caught it — the join stops being codegen-clean once its key is
+    // a non-codegen expression; same all-or-nothing lesson as r8). A
+    // plain-attribute key + a tiny non-codegen filter over ≤buckets+1
+    // rows keeps both properties.
     val totals = withPid.groupBy(col("__pid")).agg(
         count(lit(1)).as("__pcnt"),
         running.map { case (c, n) => sum(c).as(s"__ptot_$n") }: _*)
-    // the NULL-key raise (see the pid comment): evaluated once per BUCKET,
-    // not per row, so the corpus-grain projection stays inside whole-stage
-    // codegen. Attached to the offsets relation's __pid OUTPUT — the
-    // broadcast-JOIN KEY — not to __pcnt/__poff: a guard on an offset
-    // column is column-pruned away whenever a consumer keeps only a
-    // running-sum column (rank → __poff → sum(__pcnt) all dead under the
-    // standard raise_error-pruning caveat), and the sentinel bucket −1
-    // would then silently shift every bucket's offsets. The join key
-    // cannot be pruned — executing the join at all requires it — so every
-    // consumer of ANY output column still trips the raise.
-    val guardedPid = when(col("__pid") === -1, raise_error(lit(
-        "Ranks.withGlobalOrder: NULL sort-key value — keys must be " +
-          "non-null (wrap in coalesce with a sentinel); ranks would be " +
-          "corrupt")).cast("int"))
-      .otherwise(col("__pid")).as("__pid")
+      // `.otherwise(__pcnt >= 0)` — always true — exists ONLY to reference
+      // an aggregate output: a predicate over just the grouping column
+      // gets pushed below the aggregate to CORPUS grain, where the
+      // raise_error evicts the scorer stage from codegen (measured 2.4×
+      // on q84 before this anchor)
+      .filter(when(col("__pid") === -1, raise_error(lit(
+          "Ranks.withGlobalOrder: NULL sort-key value — keys must be " +
+            "non-null (wrap in coalesce with a sentinel); ranks would be " +
+            "corrupt")).cast("boolean"))
+        .otherwise(col("__pcnt") >= 0))
     val offsets = running.foldLeft(
       totals.withColumn("__poff", coalesce(sum(col("__pcnt")).over(wOff), lit(0L)))) {
       case (d, (_, n)) =>
         d.withColumn(s"__off_$n", coalesce(sum(col(s"__ptot_$n")).over(wOff), lit(0L)))
-    }.select(guardedPid +: col("__poff") +:
+    }.select(col("__pid") +: col("__poff") +:
       running.map { case (_, n) => col(s"__off_$n") }: _*)
     val joined = running.foldLeft(
       within.join(broadcast(offsets), "__pid")
