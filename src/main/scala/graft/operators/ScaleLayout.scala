@@ -20,13 +20,31 @@ object ScaleLayout {
       .sortBy(key)
       .saveAsTable(table)
 
+  /** Stage a layout write into `path + suffix`, then rename-swap into
+    * place: EVERY ScaleLayout path write is crash-consistent — a direct
+    * `overwrite` of a live lake path deletes the old data before the job
+    * runs, so a mid-job failure leaves the path neither old nor new (the
+    * exportEpoch tear the r9 kill-and-resume specs caught). The written
+    * relation routes through `withFailpoint(staging)` so those specs can
+    * inject mid-write task failures here too. */
+  private def writeStaged(spark: SparkSession, path: String, suffix: String)(
+      write: String => Unit): Unit = {
+    val staging = path + suffix
+    write(staging)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    stagedSwap(fs, path, staging)
+  }
+
   /** Date-partitioned lake layout: partition pruning serves the reference's
     * timestamp index use case (BI range scans touch only matching files). */
   def writeDatePartitioned(df: DataFrame, path: String, tsCol: String): Unit =
-    df.withColumn("part_date", to_date(col(tsCol)))
-      .write.mode("overwrite")
-      .partitionBy("part_date")
-      .parquet(path)
+    writeStaged(df.sparkSession, path, ".datestage") { staging =>
+      withFailpoint(df.withColumn("part_date", to_date(col(tsCol))), staging)
+        .write.mode("overwrite")
+        .partitionBy("part_date")
+        .parquet(staging)
+    }
 
   /** Recursive parquet inventory of a lake directory (flat or
     * Hive-partitioned): (fileCount, totalBytes). */
@@ -177,9 +195,11 @@ object ScaleLayout {
     * their slice of the lake. */
   def writeSortedRange(df: DataFrame, path: String, sortCol: String,
       partitions: Int): Unit =
-    df.repartitionByRange(partitions, col(sortCol))
-      .sortWithinPartitions(sortCol)
-      .write.mode("overwrite").parquet(path)
+    writeStaged(df.sparkSession, path, ".sortstage") { staging =>
+      withFailpoint(df.repartitionByRange(partitions, col(sortCol))
+        .sortWithinPartitions(sortCol), staging)
+        .write.mode("overwrite").parquet(staging)
+    }
 
   /** Morton (Z-order) value: min-max quantize each clustering column to
     * `bits` bits, then interleave the bits — nearby z-values are nearby in
@@ -220,16 +240,21 @@ object ScaleLayout {
         clusterCols.map(c => max(col(c)).cast("double"))): _*).head()
     val n = clusterCols.length
     if (stats.isNullAt(0)) { // empty or all-NULL input: nothing to cluster
-      df.write.mode("overwrite").parquet(path)
+      writeStaged(df.sparkSession, path, ".zstage") { staging =>
+        df.write.mode("overwrite").parquet(staging)
+      }
       return
     }
     val mins = (0 until n).map(stats.getDouble)
     val maxs = (n until 2 * n).map(stats.getDouble)
-    df.withColumn("__z", zValue(clusterCols.map(col), mins, maxs, bits))
-      .repartitionByRange(partitions, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-      .write.mode("overwrite").parquet(path)
+    writeStaged(df.sparkSession, path, ".zstage") { staging =>
+      withFailpoint(df.withColumn("__z",
+          zValue(clusterCols.map(col), mins, maxs, bits))
+        .repartitionByRange(partitions, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z"), staging)
+        .write.mode("overwrite").parquet(staging)
+    }
   }
 
   /** Salted equi-join for skewed keys. AQE's skew-join handles sort-merge

@@ -36,7 +36,12 @@ class Q104RoundingProbeSpec extends AnyFunSuite {
     frac.subtract(half).abs()
   }
 
-  for (dir <- TestSpark.allSfs)
+  // sf1 (10× sf0.1, tools/gen_sf.py) joins the probe whenever the corpus is
+  // present — a CANCELED entry on machines without it, never a silent skip.
+  private val sf1Dir = Option("/tmp/sf1")
+    .filter(d => new java.io.File(s"$d/documents.parquet").exists())
+
+  for (dir <- TestSpark.allSfs ++ sf1Dir)
     test(s"q104 probe @ $dir: no score near a 1e-6 boundary; input-distinct scores separated") {
       // one row per distinct score-determining input (dl, tf*) — the score is
       // a pure function of these, so equal inputs are bit-equal in BOTH

@@ -200,6 +200,31 @@ class ScaleLayoutSpec extends AnyFunSuite {
     assert(out.size == 200 && out(7L) == "u7" && out(150L) == "v150")
   }
 
+  test("kill-and-resume: layout rewrites (sorted-range) leave the old layout intact") {
+    // writeSortedRange / writeZOrdered / writeDatePartitioned used direct
+    // overwrite — rewriting a LIVE lake path deleted the old layout before
+    // the job ran, the same tear exportEpoch had. All three now stage+swap;
+    // this pins the representative one.
+    val path = Files.createTempDirectory("graft-sort-kill").toString + "/li"
+    val li = Tables(spark, TestSpark.sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    ScaleLayout.writeSortedRange(li, path, "l_orderkey", 4)
+    val before = spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+    ScaleLayout.failpoint.set(Some(("graft-sort-kill", 5)))
+    try {
+      val ex = intercept[Throwable] {
+        ScaleLayout.writeSortedRange(li, path, "l_orderkey", 2) // re-layout
+      }
+      assert(rootChain(ex).exists(_.contains("graft failpoint")),
+        s"unexpected failure chain: ${rootChain(ex)}")
+    } finally ScaleLayout.failpoint.set(None)
+    assert(spark.read.parquet(path).collect().map(_.toString).sorted.toSeq == before,
+      "old layout torn by failed rewrite")
+    // resume: the re-layout lands whole
+    ScaleLayout.writeSortedRange(li, path, "l_orderkey", 2)
+    assert(spark.read.parquet(path).collect().map(_.toString).sorted.toSeq == before)
+  }
+
   test("sorted-range write produces disjoint per-file key ranges") {
     val path = Files.createTempDirectory("graft-sortrange").toString + "/li"
     val li = Tables(spark, TestSpark.sf0001, "lineitem")
