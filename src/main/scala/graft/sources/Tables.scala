@@ -44,7 +44,15 @@ object Tables {
 
   /** Overwrite parquet sink — the reference's idempotent raw layer
     * (main.py:55-62, `if_exists='replace'`) re-expressed as an atomic
-    * overwrite; SURVEY.md §7.4 item 5. */
+    * overwrite; SURVEY.md §7.4 item 5.
+    *
+    * Deliberately a DIRECT overwrite, not the stage+swap protocol the
+    * derived-artifact writers use (ScaleLayout.writeStaged,
+    * Curation.exportEpoch): the raw/lake layer's recovery story is
+    * re-running the load from the upstream source of truth (the
+    * `if_exists='replace'` semantics being mirrored — runPipeline is
+    * idempotent, spec-pinned), whereas derived exports are consumed live
+    * and must stay readable through a failed rebuild. */
   def overwrite(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
