@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
@@ -222,17 +223,21 @@ object SimilaritySearch {
       |  FROM scored) r
       |WHERE rank <= 5""".stripMargin))
 
-  /** The 4-bands × 4-planes family for q38: 16 Rademacher (±1-entry)
-    * hyperplanes from a splitmix-style integer mixer, embedded as literals
-    * in both the Spark plan and the oracle SQL (like `lshPlanes`, but a
-    * proper independent family — the q36 modular formula repeats planes past
-    * p=6). Band b uses planes 4b..4b+3. */
-  private[operators] val pairPlanes: Seq[Array[Double]] =
-    (0 until 16).map { p =>
+  /** Rademacher (±1-entry) hyperplane family from a splitmix-style integer
+    * mixer — a proper independent family (the q36 modular formula repeats
+    * planes past p=6). Plane p is a pure function of p, so any prefix of
+    * the family is stable: q38's literal 16 and `lshPairs`'s bands×bits
+    * draw from the same sequence. */
+  private[operators] def radPlanes(n: Int): Seq[Array[Double]] =
+    (0 until n).map { p =>
       Array.tabulate(64) { d =>
         if ((graft.functions.Mix.splitmix((p * 64 + d).toLong) & 1L) == 1L) 1.0 else -1.0
       }
     }
+
+  /** The 4-bands × 4-planes family for q38 (planes 4b..4b+3 for band b),
+    * embedded as literals in both the Spark plan and the oracle SQL. */
+  private[operators] val pairPlanes: Seq[Array[Double]] = radPlanes(16)
 
   /** q38 — embedding-LSH near-dup PAIRS: the scale-safe replacement for
     * q34's all-pairs baseline (`Dedup.q34EmbeddingDups` remains the declared
@@ -295,6 +300,57 @@ object SimilaritySearch {
          |JOIN e b ON b.vec_id = c.vec_b
          |WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.35""".stripMargin
     })
+
+  /** Parameterized embedding-LSH near-dup pairs — the PRODUCTION form of
+    * q38, which stays the 4-band × 4-bit ORACLE ANCHOR (literal planes in
+    * both engines), the same anchor-vs-production split as q109's literal
+    * cluster cards vs `clusterCardsTrained`.
+    *
+    * Why the parameter matters at scale: buckets per band = 2^bitsPerBand,
+    * and expected candidate pairs grow as N²/2^bits — with the anchor's
+    * FIXED 4 bits that is N²/16, quadratic with a small constant. The sf1
+    * bench measured exactly that: 10× vectors → 42.8× wall on the anchor
+    * (the one super-linear query in the 110), while this form with bits
+    * sized to the corpus (bits ≈ log2(N / targetBucket)) keeps bucket
+    * populations — and thus candidate pairs per vector — constant as N
+    * grows. The recall trade is explicit and tunable the other way: per
+    * band, P(collide at angle θ) = (1−θ/π)^bits, so more bits need more
+    * bands for the same recall; every emitted pair is exact-verified
+    * against the true cosine either way (precision is always 1.0 vs the
+    * q34 ground truth — only recall varies).
+    *
+    * Plan shape is identical to the anchor at any (bands, bits): band-code
+    * projection → (band, bucket) self equi-join → distinct → verify-on-
+    * candidates. No cartesian stage at any setting. */
+  def lshPairs(spark: SparkSession, dir: String, bands: Int = 4,
+      bitsPerBand: Int = 4, threshold: Double = 0.35): DataFrame = {
+    require(bitsPerBand <= 30, "bucket code must fit an Int")
+    val planes = radPlanes(bands * bitsPerBand)
+    def bandCode(embCol: org.apache.spark.sql.Column, b: Int) =
+      (0 until bitsPerBand).map { i =>
+        when(Similarity.dot(embCol, typedLit(planes(b * bitsPerBand + i))) > 0,
+          lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val e = embWithNorm(spark, dir)
+    val banded = e.select(col("vec_id"),
+      posexplode(array((0 until bands).map(b => bandCode(col("emb"), b)): _*))
+        .as(Seq("band_idx", "bucket")))
+    val ca = banded.toDF("vec_a", "band_idx", "bucket")
+    val cb = banded.toDF("vec_b", "band_idx_b", "bucket_b")
+    val candidates = ca.join(cb,
+        col("band_idx") === col("band_idx_b") &&
+        col("bucket") === col("bucket_b") &&
+        col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    val ea = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val eb = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+    candidates.join(ea, "vec_a").join(eb, "vec_b")
+      .withColumn("cosine",
+        Similarity.cosinePre(Similarity.dot(col("emb_a"), col("emb_b")),
+          col("nrm_a"), col("nrm_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
 
   /** The 4 literal initial centroids for q62 (±0.25-entry vectors from the
     * same splitmix mixer as `pairPlanes` — deterministic, shared verbatim

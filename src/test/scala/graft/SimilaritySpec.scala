@@ -82,6 +82,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"LSH pair recall $recall over ${exact.size} true pairs")
   }
 
+  test("parameterized lshPairs: anchor parity at (4,4); more bits thin buckets, stay sound") {
+    import graft.operators.{Dedup, SimilaritySearch}
+    // (4, 4) IS the q38 anchor: same plane family prefix, same plan shape
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val anchor = pairsOf(SimilaritySearch.q38LshPairs.run(spark, TestSpark.sf0001))
+    assert(pairsOf(SimilaritySearch.lshPairs(spark, TestSpark.sf0001)) == anchor)
+    // bits=8: 256 buckets/band instead of 16 — candidate work per vector
+    // drops (the N²/2^bits scale fix) while soundness is absolute: every
+    // emitted pair is exact-verified, so it's inside the q34 ground truth
+    val exact = pairsOf(Dedup.q34EmbeddingDups.run(spark, TestSpark.sf0001))
+    val fine = pairsOf(SimilaritySearch.lshPairs(spark, TestSpark.sf0001,
+      bands = 4, bitsPerBand = 8))
+    assert(fine.subsetOf(exact), s"8-bit lshPairs emitted ${(fine -- exact).size} false pairs")
+    // (note: fine ⊄ anchor in general — 8-bit bands 2-3 draw planes 16-31,
+    // which the 4-bit anchor never consults, so they can recall pairs the
+    // anchor's 16 planes miss; only soundness is invariant across settings)
+  }
+
   test("k-means step assigns every vector once and moves centroids toward their members") {
     import graft.operators.SimilaritySearch
     val rows = SimilaritySearch.q62KmeansStep.run(spark, TestSpark.sf0001)
