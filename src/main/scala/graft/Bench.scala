@@ -11,11 +11,18 @@ import org.apache.spark.sql.SparkSession
   *     lands on at most one sample of each query instead of all samples
   *     of a few; the reported number is the per-query MEDIAN.
   *   - the full artifact (every sample + medians + env) is written to
-  *     `SPARK_GRAFT_BENCH_OUT` (default /tmp/graft_bench.json) — never
-  *     truncated, machine-readable regardless of how stdout is captured.
-  *   - stdout keeps the one-line driver contract, with seconds rounded to
-  *     4 decimals (0.1 ms — far below run-to-run noise) so the line stays
-  *     ~3 KB and survives tail-capture intact.
+  *     `SPARK_GRAFT_BENCH_OUT` (default /tmp/graft_bench.json) —
+  *     ATOMICALLY (temp file + ATOMIC_MOVE, so a mid-write kill can never
+  *     leave truncated JSON), machine-readable regardless of how stdout is
+  *     captured.
+  *   - stdout keeps the one-line driver contract but SMALL (VERDICT r9
+  *     item 2: the ~4 KB per-query line overflowed the driver's capture
+  *     window — `parsed: null`): total + per-family subtotals + the
+  *     artifact path, ~400 B. Per-query medians live in the artifact.
+  *   - declared correctness anchors (`SparkEntry.anchors`: brute-force
+  *     ground truths with separate production forms — super-linear BY
+  *     DESIGN) report under their own "anchors" family, so production
+  *     family totals aren't polluted by ground-truth cost (r9 item 3).
   * Medians are WARM numbers: memoized persists (Dedup shingle relation)
   * materialize during pass 1 and are reused by later passes, so the
   * median reflects steady-state cost; caches release once at the end.
@@ -58,29 +65,44 @@ object Bench {
       .mkString("{", ",", "}")
     val total = r4(med.values.sum)
     // per-family subtotals (registry module grain): regressions attributable
-    // at a glance once the query count is three digits
+    // at a glance once the query count is three digits. Declared anchors
+    // (super-linear ground truths) report under their own pseudo-family so
+    // e.g. "ann" reflects the production paths a user would actually run.
     val famOf = SparkEntry.families
-    val fams = med.toSeq.groupBy { case (k, _) => famOf.getOrElse(k, "other") }
+    val anchorSet = SparkEntry.anchors
+    def famKey(q: String): String =
+      if (anchorSet(q)) "anchors" else famOf.getOrElse(q, "other")
+    val fams = med.toSeq.groupBy { case (k, _) => famKey(k) }
       .toSeq.sortBy(_._1)
       .map { case (f, rs) => s"\"" + f + "\":" + r4(rs.map(_._2).sum) }
       .mkString("{", ",", "}")
+    val anchorList = anchorSet.toSeq.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    // ~400 B contract line — total + families + artifact pointer only
+    // (per-query medians overflowed the driver's stdout capture window)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""families":$fams,"sf":"$sfDir","passes":$passes,"stat":"median"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","families":$fams,""" +
+      s""""sf":"$sfDir","passes":$passes,"stat":"median","artifact":"$outPath"}"""
     // Full artifact — all samples per query, so a contaminated pass is
     // visible in the record instead of needing an out-of-band re-run.
     val detail = samples.map { case (n, v) =>
       s"\"" + n + "\":{\"samples\":[" + v.map(r4).mkString(",") +
-        s"],\"median\":${r4(median(v))}}"
+        s"],\"median\":${r4(median(v))}" +
+        (if (anchorSet(n)) ",\"anchor\":true" else "") + "}"
     }.mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
-      s""""cpus":$cpus,"passes":$passes,"stat":"median",""" +
-      s""""families":$fams,"queries":$qs,"detail":$detail}"""
+      s""""cpus":"$cpus","passes":$passes,"stat":"median",""" +
+      s""""families":$fams,"anchors":$anchorList,"queries":$qs,"detail":$detail}"""
     val p = java.nio.file.Paths.get(outPath)
     Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    java.nio.file.Files.write(p,
+    // atomic: a kill mid-write must never leave truncated JSON at outPath
+    val tmp = java.nio.file.Paths.get(outPath + ".tmp")
+    java.nio.file.Files.write(tmp,
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     println(line)
     spark.stop()
   }

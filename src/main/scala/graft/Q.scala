@@ -10,11 +10,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (the driver sorts columns by name before hashing). Queries whose
   * semantics are not SQL-expressible (e.g. Spark-hash-seeded MinHash) leave
   * `oracle = None` and get a weaker rows-only check.
+  *
+  * `anchor = true` marks a DECLARED correctness anchor whose cost is
+  * super-linear by construction (brute-force ground truth, fixed-granularity
+  * research point) and which has a separate production-form operator for
+  * scale. Bench reports anchors as their own family so production family
+  * totals aren't polluted by ground-truth cost (VERDICT r9 item 3).
   */
 final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String] = None)
+    oracle: Option[String] = None,
+    anchor: Boolean = false)
 
 object Q {
   /** Registry helper: turn a list of Q into the two SparkEntry maps. */

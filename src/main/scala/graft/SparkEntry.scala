@@ -32,6 +32,12 @@ object SparkEntry {
   def families: Map[String, String] =
     modules.flatMap { case (f, qs) => qs.map(_.name -> f) }.toMap
 
+  /** Declared super-linear correctness anchors (brute-force ground truths /
+    * fixed-granularity research points with a separate production form) —
+    * bench reports these as their own family so production family totals
+    * stay readable at scale. */
+  def anchors: Set[String] = registry.filter(_.anchor).map(_.name).toSet
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     operators.Master(spark, "/root/testdata/sf0.001")

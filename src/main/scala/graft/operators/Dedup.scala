@@ -85,6 +85,19 @@ object Dedup {
     }
   }
 
+  /** Per-dir eviction for LONG-LIVED sessions (VERDICT r9 item 4): a
+    * session profiling many corpus dirs accretes one cache entry per
+    * (dir, tag) until `releaseCaches` — fine for Bench/Verify, which
+    * release at batch end, but an interactive session that has finished
+    * with one corpus should drop just that corpus's persisted blocks and
+    * keep the rest warm. */
+  def releaseCachesFor(spark: SparkSession, dir: String): Unit =
+    memoCache.keys.filter(k => (k._1 eq spark) && k._2 == dir).foreach { k =>
+      memoCache.remove(k).foreach(df => try df.unpersist(blocking = false) catch {
+        case _: Throwable => () // session already stopped: nothing to free
+      })
+    }
+
   /** Exploded, hashed, per-doc-distinct shingle relation shared by the whole
     * family, carrying TWO identities per word-3-gram: `h` = xxhash64 (an
     * 8-byte long — the narrow join/shuffle key for the exact-pair paths; see
@@ -316,7 +329,8 @@ object Dedup {
       .filter(col("jaccard") >= 0.1)
       .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard")),
     Some(s"""WITH ${jaccardPairsOracle(0.1)}
-      |SELECT doc_a, doc_b, common, jaccard FROM pairs""".stripMargin))
+      |SELECT doc_a, doc_b, common, jaccard FROM pairs""".stripMargin),
+    anchor = true)
 
   /** q32 — MinHash + LSH banding: 16 min-hashes per doc, 4 bands × 4 rows;
     * docs sharing any band hash become candidates; exact Jaccard then
@@ -536,7 +550,8 @@ object Dedup {
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10""".stripMargin
-    })
+    },
+    anchor = true)
 
   /** q79 — SimHash at the PRODUCTION radius: hamming ≤ 4 via 5 bands of
     * 12 bits (pigeonhole-complete for ≤ 4). The 4096-value band domains
@@ -597,7 +612,8 @@ object Dedup {
       |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cosine
       |FROM e a JOIN e b ON a.vec_id < b.vec_id
       |WHERE list_dot_product(a.emb, b.emb) /
-      |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.35""".stripMargin))
+      |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.35""".stripMargin),
+    anchor = true)
 
   /** q60 — dedup SURVIVORSHIP: the endpoint a training-data pipeline
     * actually ships — near-dup clusters (q48's label-propagation components

@@ -86,11 +86,17 @@ object ScaleLayout {
     import org.apache.hadoop.fs.Path
     val old = new Path(path + ".old")
     fs.delete(old, true)
+    // Hadoop FileSystem.rename reports most failures (dest exists, parent
+    // missing, permissions) by returning FALSE, not throwing — an unchecked
+    // call would report a failed commit as success while `path` still holds
+    // stale (or, worse, no) data. Every rename here must prove it happened.
+    def renameOrDie(src: Path, dst: Path): Unit =
+      require(fs.rename(src, dst), s"stagedSwap: rename $src -> $dst failed")
     // existence-guarded: ChecksumFileSystem.rename THROWS on a missing
     // source (copy fallback) rather than returning false, so a first-ever
     // write must skip the rename-aside
-    if (fs.exists(new Path(path))) fs.rename(new Path(path), old)
-    fs.rename(new Path(staging), new Path(path))
+    if (fs.exists(new Path(path))) renameOrDie(new Path(path), old)
+    renameOrDie(new Path(staging), new Path(path))
     fs.delete(old, true)
   }
 

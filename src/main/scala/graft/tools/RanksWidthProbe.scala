@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.operators.Ranks
 
 /** Driver-memory ceiling probe for Ranks.withGlobalOrder under
-  * adversarially WIDE sort keys (VERDICT r8 item 6): 200k rows with 1 KB
-  * string keys at shuffle.partitions=1024 → buckets = min(1024·4, 4096) =
-  * the cap, sample cap = 64·4096 = 262 144 rows.
+  * adversarially WIDE sort keys (VERDICT r8 item 6): 2M rows (the default
+  * below, and what the usage line runs) with 1 KB string keys at
+  * shuffle.partitions=1024 → buckets = min(1024·4, 4096) = the cap, sample
+  * cap = 64·4096 = 262 144 rows — so the legacy sampler materializes the
+  * full 262k-row full-width sample, not the whole corpus.
   *
   *  - mode `legacy` reproduces what the pre-r9 sampler materialized: the
   *    FULL-WIDTH sample through TakeOrderedAndProject — ~0.5 GB of UTF-16

@@ -36,13 +36,15 @@ class Q104RoundingProbeSpec extends AnyFunSuite {
     frac.subtract(half).abs()
   }
 
-  // sf1 (10× sf0.1, tools/gen_sf.py) joins the probe whenever the corpus is
-  // present — a CANCELED entry on machines without it, never a silent skip.
-  private val sf1Dir = Option("/tmp/sf1")
-    .filter(d => new java.io.File(s"$d/documents.parquet").exists())
+  // sf1 (10× sf0.1, tools/gen_sf.py) is ALWAYS a registered test: `assume`
+  // inside the body makes ScalaTest report it CANCELED on machines without
+  // the corpus — visible in the run summary, never a silent skip.
+  private val sf1Dir = "/tmp/sf1"
 
-  for (dir <- TestSpark.allSfs ++ sf1Dir)
+  for (dir <- TestSpark.allSfs :+ sf1Dir)
     test(s"q104 probe @ $dir: no score near a 1e-6 boundary; input-distinct scores separated") {
+      assume(new java.io.File(s"$dir/documents.parquet").exists(),
+        s"corpus $dir absent — generate with: python3 tools/gen_sf.py $dir 10")
       // one row per distinct score-determining input (dl, tf*) — the score is
       // a pure function of these, so equal inputs are bit-equal in BOTH
       // engines and need no separation.

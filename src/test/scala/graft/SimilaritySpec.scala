@@ -102,6 +102,28 @@ class SimilaritySpec extends AnyFunSuite {
     // anchor's 16 planes miss; only soundness is invariant across settings)
   }
 
+  test("q110 scaled registry point ≡ lshPairs(8,8): sound vs exact truth, non-trivial recall") {
+    import graft.operators.{Dedup, SimilaritySearch}
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the registry entry IS the parameterized operator at (8, 8) — no
+    // drift possible between the oracle-checked point and the production fn
+    val reg = pairsOf(SimilaritySearch.q110LshScaled.run(spark, TestSpark.sf0001))
+    assert(reg == pairsOf(SimilaritySearch.lshPairs(spark, TestSpark.sf0001,
+      bands = 8, bitsPerBand = 8)))
+    val exact = pairsOf(Dedup.q34EmbeddingDups.run(spark, TestSpark.sf0001))
+    assert(reg.subsetOf(exact), s"q110 emitted ${(reg -- exact).size} false pairs")
+    // honest recall floor: at sf0.001 every true pair sits in the
+    // NEAR-THRESHOLD band (cosine 0.35–0.5 — no high-cosine dups at this
+    // SF), where per-band collision is (1−θ/π)^8 ≈ 0.02–0.04, so the
+    // 8-band OR expects recall ≈ 0.15–0.27 (measured: 0.179). True
+    // near-dups (cosine ≳0.8) collide at ≳0.9 — this floor bounds the
+    // WORST band of the curve, not the production regime.
+    val recall = if (exact.isEmpty) 1.0 else exact.count(reg.contains).toDouble / exact.size
+    assert(recall >= 0.1, s"q110 recall $recall over ${exact.size} true pairs")
+  }
+
   test("k-means step assigns every vector once and moves centroids toward their members") {
     import graft.operators.SimilaritySearch
     val rows = SimilaritySearch.q62KmeansStep.run(spark, TestSpark.sf0001)
