@@ -1,10 +1,12 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expressions for vector similarity (SURVEY.md §7.3's one
   * justified custom-Expression candidate).
@@ -81,6 +83,118 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** All LSH band codes of a vector in ONE compiled pass — the fused form of
+  * the `lshPairs`/q38/q110 band-code projection.
+  *
+  * The composed formulation builds bands×bits separate `DotProduct`
+  * sub-expressions (one per hyperplane), each re-walking the embedding
+  * `ArrayData` through virtual `getDouble` calls, and at production plane
+  * counts (q110: 64 planes) the generated projection method grows past
+  * what the JIT promotes — the hot loop runs de-optimized. This expression
+  * is two small nested loops over a constant `double[][]` plane matrix and
+  * ONE `toDoubleArray()` materialization of the row's vector: bounded
+  * bytecode at ANY plane count, JIT-friendly, stays in whole-stage codegen.
+  *
+  * Bit-exact substitution for the composed form (pinned in SimilaritySpec):
+  * per plane p the sum folds d = 0..dims-1 sequentially — the identical
+  * IEEE add order as `DotProduct` and the oracle's `list_dot_product` —
+  * and bit (p % bits) of band (p / bits) is set iff sum > 0. The composed
+  * `when(dot > 0, 1<<i).otherwise(0)` yields 0 (not NULL) for a NULL
+  * vector, a NULL element, or a length-mismatched vector (dot → NULL →
+  * otherwise-branch): reproduced here as all-zero codes, so the expression
+  * itself is never NULL. */
+case class LshBandCodes(child: Expression, planes: Seq[Array[Double]], bits: Int)
+    extends UnaryExpression {
+
+  private def dims: Int = planes.head.length
+  private def bands: Int = planes.length / bits
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _)
+      if planes.nonEmpty && bits > 0 && bits <= 30 &&
+        planes.length % bits == 0 && planes.forall(_.length == dims) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<double> input and a rectangular plane matrix " +
+        "whose row count is a multiple of bits")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_lsh_band_codes"
+  override def nullable: Boolean = false
+
+  private def elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val codes = new Array[Int](bands)
+    val a = child.eval(input)
+    if (a != null) {
+      val x = a.asInstanceOf[ArrayData]
+      var valid = x.numElements() == dims
+      if (valid && elementsNullable) {
+        var d = 0
+        while (valid && d < dims) { if (x.isNullAt(d)) valid = false; d += 1 }
+      }
+      if (valid) {
+        val v = x.toDoubleArray()
+        var p = 0
+        while (p < planes.length) {
+          val pl = planes(p)
+          var s = 0.0
+          var d = 0
+          while (d < dims) { s += v(d) * pl(d); d += 1 }
+          if (s > 0) codes(p / bits) |= 1 << (p % bits)
+          p += 1
+        }
+      }
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val matrix = ctx.addReferenceObj("lshPlanes", planes.toArray, "double[][]")
+    val codes = ctx.freshName("codes")
+    val valid = ctx.freshName("valid")
+    val v = ctx.freshName("v")
+    val p = ctx.freshName("p")
+    val d = ctx.freshName("d")
+    val s = ctx.freshName("s")
+    val pl = ctx.freshName("pl")
+    val nullElemCheck = if (elementsNullable)
+      s"""if ($valid) {
+         |  for (int $d = 0; $d < $dims; $d++)
+         |    if (${childGen.value}.isNullAt($d)) { $valid = false; break; }
+         |}""".stripMargin
+    else ""
+    ev.copy(
+      code = code"""
+        |${childGen.code}
+        |int[] $codes = new int[$bands];
+        |boolean $valid = !${childGen.isNull} &&
+        |  ${childGen.value}.numElements() == $dims;
+        |$nullElemCheck
+        |if ($valid) {
+        |  double[] $v = ${childGen.value}.toDoubleArray();
+        |  for (int $p = 0; $p < ${planes.length}; $p++) {
+        |    double[] $pl = $matrix[$p];
+        |    double $s = 0.0;
+        |    for (int $d = 0; $d < $dims; $d++) $s += $v[$d] * $pl[$d];
+        |    if ($s > 0) $codes[$p / $bits] |= 1 << ($p % $bits);
+        |  }
+        |}
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        |  new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+        """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** One-pass cosine similarity: accumulates x·y, x·x, y·y in a single loop,

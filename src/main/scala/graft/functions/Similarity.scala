@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
-import graft.expressions.{CosineSimilarity, DotProduct}
+import graft.expressions.{CosineSimilarity, DotProduct, LshBandCodes}
 
 /** Vector similarity primitives over ArrayType columns (SURVEY.md §2.10/§2.11
   * extension surface).
@@ -44,4 +44,11 @@ object Similarity {
     * per pair — at 100 TB the norm column is materialized with the vector). */
   def cosinePre(dotAB: Column, normA: Column, normB: Column): Column =
     dotAB / (normA * normB)
+
+  /** All LSH band codes in one compiled pass (array<int>, one code per
+    * band) — bit-exact fusion of the per-plane
+    * `when(dot(emb, plane) > 0, 1<<i)` sum (expressions.LshBandCodes
+    * scaladoc has the equivalence argument). */
+  def lshBandCodes(emb: Column, planes: Seq[Array[Double]], bits: Int): Column =
+    Bridge.column(LshBandCodes(Bridge.expression(emb), planes, bits))
 }

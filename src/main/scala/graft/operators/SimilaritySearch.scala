@@ -228,7 +228,7 @@ object SimilaritySearch {
     * planes past p=6). Plane p is a pure function of p, so any prefix of
     * the family is stable: q38's literal 16 and `lshPairs`'s bands×bits
     * draw from the same sequence. */
-  private[operators] def radPlanes(n: Int): Seq[Array[Double]] =
+  private[graft] def radPlanes(n: Int): Seq[Array[Double]] =
     (0 until n).map { p =>
       Array.tabulate(64) { d =>
         if ((graft.functions.Mix.splitmix((p * 64 + d).toLong) & 1L) == 1L) 1.0 else -1.0
@@ -253,32 +253,11 @@ object SimilaritySearch {
     * oracle-checked thanks to the literal planes. */
   val q38LshPairs: Q = Q(
     "q38_dedup_embedding_lsh",
-    (s, dir) => {
-      def bandCode(embCol: org.apache.spark.sql.Column, b: Int) =
-        (0 until 4).map { i =>
-          when(Similarity.dot(embCol, typedLit(pairPlanes(b * 4 + i))) > 0, lit(1 << i))
-            .otherwise(lit(0))
-        }.reduce(_ + _)
-      val e = embWithNorm(s, dir)
-      val banded = e.select(col("vec_id"),
-        posexplode(array((0 until 4).map(b => bandCode(col("emb"), b)): _*))
-          .as(Seq("band_idx", "bucket")))
-      val ca = banded.toDF("vec_a", "band_idx", "bucket")
-      val cb = banded.toDF("vec_b", "band_idx_b", "bucket_b")
-      val candidates = ca.join(cb,
-          col("band_idx") === col("band_idx_b") &&
-          col("bucket") === col("bucket_b") &&
-          col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b")).distinct()
-      val ea = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
-      val eb = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b"))
-      candidates.join(ea, "vec_a").join(eb, "vec_b")
-        .withColumn("cosine",
-          Similarity.cosinePre(Similarity.dot(col("emb_a"), col("emb_b")),
-            col("nrm_a"), col("nrm_b")))
-        .filter(col("cosine") >= 0.35)
-        .select(col("vec_a"), col("vec_b"), col("cosine"))
-    },
+    // the anchor IS lshPairs at (4, 4) — spec-pinned identical since r9;
+    // the fused band-code expression keeps that identity (bit-exact
+    // substitution, expressions.LshBandCodes scaladoc). The oracle below
+    // stays an INDEPENDENT literal-plane DuckDB formulation either way.
+    (s, dir) => lshPairs(s, dir, bands = 4, bitsPerBand = 4),
     Some {
       def bandSql(b: Int) = (0 until 4).map { i =>
         s"(CASE WHEN list_dot_product(emb, ${arraySql(pairPlanes(b * 4 + i))}) > 0 THEN ${1 << i} ELSE 0 END)"
@@ -327,14 +306,13 @@ object SimilaritySearch {
       bitsPerBand: Int = 4, threshold: Double = 0.35): DataFrame = {
     require(bitsPerBand <= 30, "bucket code must fit an Int")
     val planes = radPlanes(bands * bitsPerBand)
-    def bandCode(embCol: org.apache.spark.sql.Column, b: Int) =
-      (0 until bitsPerBand).map { i =>
-        when(Similarity.dot(embCol, typedLit(planes(b * bitsPerBand + i))) > 0,
-          lit(1 << i)).otherwise(lit(0))
-      }.reduce(_ + _)
+    // fused band-code projection: ONE compiled expression computes every
+    // band's code in a single pass over the vector (at production plane
+    // counts the composed per-plane when-chain generated a method too
+    // large for the JIT — q110 ran de-optimized; see LshBandCodes)
     val e = embWithNorm(spark, dir)
     val banded = e.select(col("vec_id"),
-      posexplode(array((0 until bands).map(b => bandCode(col("emb"), b)): _*))
+      posexplode(Similarity.lshBandCodes(col("emb"), planes, bitsPerBand))
         .as(Seq("band_idx", "bucket")))
     val ca = banded.toDF("vec_a", "band_idx", "bucket")
     val cb = banded.toDF("vec_b", "band_idx_b", "bucket_b")

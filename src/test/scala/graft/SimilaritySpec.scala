@@ -124,6 +124,69 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.1, s"q110 recall $recall over ${exact.size} true pairs")
   }
 
+  test("fused LshBandCodes ≡ composed per-plane when-chain (anchor + scaled settings)") {
+    import graft.operators.SimilaritySearch
+    import graft.functions.Similarity
+    val e = graft.sources.Tables(spark, TestSpark.sf0001, "embeddings")
+      .select(col("vec_id"), Similarity.toDoubleArray(col("embedding")).as("emb"))
+    for ((bands, bits) <- Seq((4, 4), (8, 8))) {
+      val planes = SimilaritySearch.radPlanes(bands * bits)
+      // the pre-fusion formulation, verbatim: one when-chain per plane
+      def composedCode(b: Int) = (0 until bits).map { i =>
+        when(Similarity.dot(col("emb"), typedLit(planes(b * bits + i))) > 0,
+          lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      val composed = rows(e.select(col("vec_id"),
+        posexplode(array((0 until bands).map(composedCode): _*))
+          .as(Seq("band_idx", "bucket"))))
+      val fused = rows(e.select(col("vec_id"),
+        posexplode(Similarity.lshBandCodes(col("emb"), planes, bits))
+          .as(Seq("band_idx", "bucket"))))
+      assert(fused == composed, s"fused != composed at ($bands, $bits)")
+    }
+  }
+
+  test("LshBandCodes null/ragged edges match the composed otherwise(0), in codegen AND eval") {
+    import graft.functions.Similarity
+    val planes = Seq(Array(1.0, 1.0), Array(1.0, -1.0))
+    // NULL vector, null element, wrong length, and a valid row: the
+    // composed when(dot > 0,...).otherwise(0) gives code 0 for the first
+    // three (dot → NULL → otherwise) and 2 for the valid one (plane0 dot
+    // is exactly 0.0 — NOT > 0; plane1 dot is 1.0)
+    val df = spark.sql(
+      """SELECT id, v FROM VALUES
+        |  (0L, CAST(NULL AS array<double>)),
+        |  (1L, array(CAST(0.5 AS double), CAST(NULL AS double))),
+        |  (2L, array(CAST(1.0 AS double))),
+        |  (3L, array(CAST(0.5 AS double), CAST(-0.5 AS double))) t(id, v)""".stripMargin)
+    def codeOf(df: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.Column) =
+      df.select(col("id"), c.as("codes")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val fused = codeOf(df, Similarity.lshBandCodes(col("v"), planes, 2))
+    val composed = codeOf(df, array((0 until 1).map { b =>
+      (0 until 2).map { i =>
+        when(Similarity.dot(col("v"), typedLit(planes(b * 2 + i))) > 0,
+          lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*))
+    assert(fused == composed && fused == Map(
+      0L -> List(0), 1L -> List(0), 2L -> List(0), 3L -> List(2)))
+    // interpreted path (eval): same four cases through the expression directly
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def evalCodes(v: Any): List[Int] =
+      graft.expressions.LshBandCodes(
+          Literal.create(v, ArrayType(DoubleType)), planes, 2)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toIntArray().toList
+    assert(evalCodes(null) == List(0))
+    assert(evalCodes(Array[Any](0.5, null)) == List(0))
+    assert(evalCodes(Array[Any](1.0)) == List(0))
+    assert(evalCodes(Array[Any](0.5, -0.5)) == List(2))
+  }
+
   test("k-means step assigns every vector once and moves centroids toward their members") {
     import graft.operators.SimilaritySearch
     val rows = SimilaritySearch.q62KmeansStep.run(spark, TestSpark.sf0001)
