@@ -11,6 +11,9 @@ import graft.operators.SimilaritySearch
   * parameterized form restoring ~linear growth at the same plan shape.
   *
   * Usage: bash tools/run.sh graft.tools.LshScaleProbe <sfDir> [<sfDir>...]
+  *   SPARK_GRAFT_LSH_BANDS   band count for the parameterized form (default 4)
+  *   SPARK_GRAFT_LSH_ANCHOR  "0" skips the quadratic anchor timing (it is
+  *                           minutes at 30×; the production curve is the point)
   */
 object LshScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -30,16 +33,18 @@ object LshScaleProbe {
       println(f"[lsh-scale] $label rows=$rows t=${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
 
+    val bands = sys.env.getOrElse("SPARK_GRAFT_LSH_BANDS", "4").toInt
+    val runAnchor = sys.env.getOrElse("SPARK_GRAFT_LSH_ANCHOR", "1") != "0"
     args.foreach { dir =>
       val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
       // bits ≈ log2(N / targetBucket): ~64 vectors per bucket
       val bits = math.max(4, (math.log(n / 64.0) / math.log(2)).ceil.toInt)
       println(s"[lsh-scale] dir=$dir n=$n scaledBits=$bits")
-      time(s"anchor(4x4)  @ $dir") {
+      if (runAnchor) time(s"anchor(4x4)  @ $dir") {
         graft.SparkEntry.queries("q38_dedup_embedding_lsh")(spark, dir).count()
       }
-      time(s"lshPairs(4x$bits) @ $dir") {
-        SimilaritySearch.lshPairs(spark, dir, bands = 4, bitsPerBand = bits).count()
+      time(s"lshPairs(${bands}x$bits) @ $dir") {
+        SimilaritySearch.lshPairs(spark, dir, bands = bands, bitsPerBand = bits).count()
       }
     }
     spark.stop()
