@@ -36,15 +36,16 @@ class Q104RoundingProbeSpec extends AnyFunSuite {
     frac.subtract(half).abs()
   }
 
-  // sf1 (10× sf0.1, tools/gen_sf.py) is ALWAYS a registered test: `assume`
-  // inside the body makes ScalaTest report it CANCELED on machines without
-  // the corpus — visible in the run summary, never a silent skip.
-  private val sf1Dir = "/tmp/sf1"
+  // sf1/sf3 (10×/30× sf0.1, tools/gen_sf.py) are ALWAYS registered tests:
+  // `assume` inside the body makes ScalaTest report them CANCELED on
+  // machines without the corpora — visible in the run summary, never a
+  // silent skip.
+  private val outOfGateDirs = Seq("/tmp/sf1", "/tmp/sf3")
 
-  for (dir <- TestSpark.allSfs :+ sf1Dir)
+  for (dir <- TestSpark.allSfs ++ outOfGateDirs)
     test(s"q104 probe @ $dir: no score near a 1e-6 boundary; input-distinct scores separated") {
       assume(new java.io.File(s"$dir/documents.parquet").exists(),
-        s"corpus $dir absent — generate with: python3 tools/gen_sf.py $dir 10")
+        s"corpus $dir absent — generate with: python3 tools/gen_sf.py $dir <replicas>")
       // one row per distinct score-determining input (dl, tf*) — the score is
       // a pure function of these, so equal inputs are bit-equal in BOTH
       // engines and need no separation.

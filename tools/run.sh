@@ -1,7 +1,11 @@
 #!/bin/bash
 # Run a graft main class against the local Spark jars (same JVM flags the
 # driver uses via build.sbt javaOptions).
+# GRAFT_CLASSES overrides the class dir — point it at a snapshot copy to
+# run long sweeps concurrently with recompiles (sbt swaps class files
+# under a live JVM otherwise).
 CLASS="$1"; shift
+CLASSES="${GRAFT_CLASSES:-/root/repo/target/scala-2.13/classes}"
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic; do
@@ -13,5 +17,5 @@ done
 exec java $OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx8g \
-  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+  -cp "$CLASSES:/opt/spark/jars/*" \
   "$CLASS" "$@"
