@@ -66,6 +66,26 @@ object Incremental {
     * size is O(groups), so the per-batch rewrite is cheap at any lake
     * size; a production sink at huge group cardinality would swap parquet
     * for a keyed store and merge in place. */
+  /** Test-only crash injection for the kill-and-resume specs: when set to
+    * Some((pathMarker, point)), a refresh whose state path contains
+    * `pathMarker` throws at `point` — "afterMarker" (staged state + batch
+    * marker written, swap not yet run) or "afterCommit" (swap complete,
+    * checkpoint offset NOT yet committed — the classic replay window).
+    * One-shot: the hook disarms itself as it fires, so the restarted query
+    * replays the batch without test bookkeeping. Never set outside tests;
+    * mid-WRITE kills are injected separately via ScaleLayout.failpoint,
+    * which the staging write below routes through. */
+  private[graft] val crashpoint =
+    new java.util.concurrent.atomic.AtomicReference[Option[(String, String)]](None)
+
+  private def maybeCrash(statePath: String, point: String): Unit =
+    crashpoint.get() match {
+      case some @ Some((marker, p)) if p == point && statePath.contains(marker) =>
+        crashpoint.compareAndSet(some, None)
+        throw new RuntimeException(s"graft crashpoint: injected $point failure")
+      case _ => ()
+    }
+
   def streamingRefresh(stream: DataFrame, key: String, valueCol: String,
       distinctCol: String, statePath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
@@ -101,10 +121,13 @@ object Incremental {
               mergeStates(Seq(spark.read.parquet(statePath), delta), key)
             else delta
           val staging = statePath + ".refresh"
-          merged.write.mode("overwrite").parquet(staging)
+          ScaleLayout.withFailpoint(merged, staging)
+            .write.mode("overwrite").parquet(staging)
           fs.create(new Path(staging, s"_merged_batch_$batchId"), true).close()
+          maybeCrash(statePath, "afterMarker")
           if (fs.exists(hPath)) ScaleLayout.stagedSwap(fs, statePath, staging)
           else { fs.rename(new Path(staging), hPath); () }
+          maybeCrash(statePath, "afterCommit")
         }
       }
       .start()
