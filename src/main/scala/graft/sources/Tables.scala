@@ -21,13 +21,21 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.parquet carries TIMESTAMP(NANOS) — unsupported by Spark's
-      // vectorized reader. Read the raw int64 nanos and truncate to micros
-      // (matches DuckDB's ns→us conversion for the oracle). Integer `div`,
-      // not double division: epoch-nanos exceed 2^53.
+      // events.parquet has shipped with two physical layouts for `ts`:
+      // TIMESTAMP(NANOS) (unsupported by Spark's vectorized reader — read
+      // the raw int64 nanos and truncate to micros, matching DuckDB's
+      // ns→us conversion; integer `div`, not double division, because
+      // epoch-nanos exceed 2^53) and native TIMESTAMP(MICROS) with
+      // isAdjustedToUTC=false (surfaces as TIMESTAMP_NTZ). Normalize both
+      // to session-zoned TimestampType (session tz is pinned UTC) so every
+      // downstream operator sees one type.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampType => df
+        case _ => df.withColumn("ts", df("ts").cast(TimestampType))
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
