@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr through verbatim instead of routing
+// them via sbt's logger: the logger prefixes every line with "[info] " /
+// "[error] ", which breaks the driver's machine-parse of Bench's one-line
+// JSON contract (BENCH_r* "parsed: null" every round).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
