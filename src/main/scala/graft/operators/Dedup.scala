@@ -98,6 +98,10 @@ object Dedup {
       })
     }
 
+  /** Test-only view of which (dir, tag) memo entries a session holds. */
+  private[graft] def memoKeysFor(spark: SparkSession): Set[(String, String)] =
+    memoCache.keys.collect { case (s, d, t) if s eq spark => (d, t) }.toSet
+
   /** Exploded, hashed, per-doc-distinct shingle relation shared by the whole
     * family, carrying TWO identities per word-3-gram: `h` = xxhash64 (an
     * 8-byte long — the narrow join/shuffle key for the exact-pair paths; see

@@ -55,26 +55,16 @@ object Incremental {
       round(hll_sketch_estimate(col("distinct_sk"))).cast("long")
         .as("approx_distinct"))
 
-  /** Streaming refresh: a foreachBatch sink that folds each micro-batch's
-    * partial state into the parquet state table — the streaming half of
-    * the materialized view (batch deltas and stream batches are the SAME
-    * algebraic merge). Parquet is not transactional, so exactly-once comes
-    * from a batch-id marker: a replayed micro-batch (restart between sink
-    * write and checkpoint commit) is detected and skipped, making the
-    * non-idempotent merge effectively idempotent; the state rewrite itself
-    * uses the rename-aside staged swap (crash-recoverable). State table
-    * size is O(groups), so the per-batch rewrite is cheap at any lake
-    * size; a production sink at huge group cardinality would swap parquet
-    * for a keyed store and merge in place. */
-  /** Test-only crash injection for the kill-and-resume specs: when set to
-    * Some((pathMarker, point)), a refresh whose state path contains
-    * `pathMarker` throws at `point` — "afterMarker" (staged state + batch
-    * marker written, swap not yet run) or "afterCommit" (swap complete,
-    * checkpoint offset NOT yet committed — the classic replay window).
-    * One-shot: the hook disarms itself as it fires, so the restarted query
-    * replays the batch without test bookkeeping. Never set outside tests;
-    * mid-WRITE kills are injected separately via ScaleLayout.failpoint,
-    * which the staging write below routes through. */
+  /** Test-only crash injection for the kill-and-resume specs
+    * (IncrementalSpec): when set to Some((pathMarker, point)), a refresh
+    * whose state path contains `pathMarker` throws at `point` —
+    * "afterMarker" (staged state + batch marker written, swap not yet run)
+    * or "afterCommit" (swap complete, checkpoint offset NOT yet committed —
+    * the classic replay window). One-shot: the hook disarms itself as it
+    * fires, so the restarted query replays the batch without test
+    * bookkeeping. Never set outside tests; mid-WRITE kills are injected
+    * separately via ScaleLayout.failpoint, which the staging write below
+    * routes through. */
   private[graft] val crashpoint =
     new java.util.concurrent.atomic.AtomicReference[Option[(String, String)]](None)
 
@@ -86,6 +76,17 @@ object Incremental {
       case _ => ()
     }
 
+  /** Streaming refresh: a foreachBatch sink that folds each micro-batch's
+    * partial state into the parquet state table — the streaming half of
+    * the materialized view (batch deltas and stream batches are the SAME
+    * algebraic merge). Parquet is not transactional, so exactly-once comes
+    * from a batch-id marker: a replayed micro-batch (restart between sink
+    * write and checkpoint commit) is detected and skipped, making the
+    * non-idempotent merge effectively idempotent; the state rewrite itself
+    * uses the rename-aside staged swap (crash-recoverable). State table
+    * size is O(groups), so the per-batch rewrite is cheap at any lake
+    * size; a production sink at huge group cardinality would swap parquet
+    * for a keyed store and merge in place. */
   def streamingRefresh(stream: DataFrame, key: String, valueCol: String,
       distinctCol: String, statePath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =

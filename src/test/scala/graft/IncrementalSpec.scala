@@ -91,6 +91,54 @@ class IncrementalSpec extends AnyFunSuite {
       "interrupted swap must recover the stranded .old state, not restart from empty")
   }
 
+  test("kill-and-resume: injected crashes at both refresh failpoints converge exactly-once") {
+    import java.nio.file.Files
+    // the armed crashpoint matches on this marker appearing in the state path
+    val marker = "graft-mv-crash"
+    val root = Files.createTempDirectory(marker).toFile.getAbsolutePath
+    val src = s"$root/src"; val state = s"$root/state"; val ckpt = s"$root/ckpt"
+
+    val full = events
+    val b1 = full.filter(col("user_id") % 2 === 0)
+    val b2 = full.filter(col("user_id") % 2 === 1)
+
+    def start() = Incremental.streamingRefresh(
+      spark.readStream.schema(full.schema).parquet(src),
+      "event_type", "value", "user_id", state, ckpt)
+    def snap() = spark.read.parquet(state).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDecimal(2)))).toMap
+    def runToFailure(): Unit = {
+      val q = start()
+      // the injected throw escapes foreachBatch and kills the query;
+      // processAllAvailable surfaces it as the terminal exception
+      intercept[Exception] { q.processAllAvailable() }
+      assert(q.exception.isDefined, "armed crashpoint must terminate the query")
+      assert(Incremental.crashpoint.get().isEmpty, "crashpoint is one-shot")
+    }
+
+    // crash 1: AFTER the staged state + batch marker are written, BEFORE the
+    // swap publishes them — replay must re-merge against the OLD state
+    b1.coalesce(1).write.mode("append").parquet(src)
+    Incremental.crashpoint.set(Some((marker, "afterMarker")))
+    runToFailure()
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    val afterB1 = snap()
+    val wantB1 = Incremental.aggState(b1, "event_type", "value", "user_id")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDecimal(2)))).toMap
+    assert(afterB1 == wantB1, "afterMarker crash on the first batch must not lose or double it")
+
+    // crash 2: AFTER the swap commits, BEFORE the checkpoint offset does —
+    // the classic replay window; the marker makes the replayed merge a no-op
+    b2.coalesce(1).write.mode("append").parquet(src)
+    Incremental.crashpoint.set(Some((marker, "afterCommit")))
+    runToFailure()
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val got = snap()
+    val want = Incremental.aggState(full, "event_type", "value", "user_id")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDecimal(2)))).toMap
+    assert(got == want, "afterCommit crash + replay must merge each batch exactly once")
+  }
+
   test("approx_distinct from merged sketches tracks the exact distinct count") {
     val state = Incremental.mergeStates(
       (0 until 3).map(i => Incremental.aggState(

@@ -110,8 +110,21 @@ def main() -> None:
                                   for i, w in enumerate(s.split()))
                          for s in doc_texts], type=field.type)
                 elif t == "embeddings" and field.name == "embedding" and k > 0:
-                    col = pa.array(np.roll(emb, k, axis=1).tolist(),
-                                   type=field.type)
+                    # roll is orthogonal but has period dim (=32): at k>=32
+                    # the roll alone repeats and replicas k and k-32 would be
+                    # exact embedding copies (quadratic dup-pair blowup at
+                    # sf10's 100 replicas). Compose with a seeded +-1 sign
+                    # flip per 32-replica block — also orthogonal, so
+                    # within-replica cosines stay exact, while cross-replica
+                    # cosines of the flipped halves cancel toward 0. k<32
+                    # keeps the original roll-only output byte-identical.
+                    rolled = np.roll(emb, k % emb.shape[1], axis=1)
+                    if k >= emb.shape[1]:
+                        signs = np.where(
+                            np.random.default_rng(k).random(emb.shape[1]) < 0.5,
+                            np.float32(-1), np.float32(1))
+                        rolled = rolled * signs
+                    col = pa.array(rolled.tolist(), type=field.type)
                 cols[field.name] = col
             parts.append(pa.table(cols, schema=tbl.schema))
         big = pa.concat_tables(parts)
