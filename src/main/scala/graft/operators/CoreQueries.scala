@@ -41,8 +41,8 @@ object CoreQueries {
     "q02_selective_revenue",
     (s, dir) => Tables(s, dir, "lineitem")
       .filter(
-        col("l_shipdate") >= lit("2024-01-01").cast("timestamp") &&
-        col("l_shipdate") < lit("2024-07-01").cast("timestamp") &&
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-07-01").cast("timestamp") &&
         col("l_discount").between(0.02, 0.06) &&
         col("l_quantity") < 24)
       .agg(
@@ -52,7 +52,7 @@ object CoreQueries {
       |  CAST(ROUND(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS promo_revenue,
       |  COUNT(*) AS n_rows
       |FROM lineitem
-      |WHERE l_shipdate >= TIMESTAMP '2024-01-01' AND l_shipdate < TIMESTAMP '2024-07-01'
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
       |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin))
 
   /** J2 inner equi-join + grouped agg + distinct aggregate
@@ -671,8 +671,8 @@ object CoreQueries {
     (s, dir) => {
       val customer = Tables(s, dir, "customer")
       val orders = Tables(s, dir, "orders")
-        .filter(col("o_orderdate") >= lit("2024-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit("2025-01-01").cast("timestamp"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
       val lineitem = Tables(s, dir, "lineitem")
       val supplier = Tables(s, dir, "supplier")
       val nation = Tables(s, dir, "nation")
@@ -694,8 +694,8 @@ object CoreQueries {
       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
       |  AND r_name = 'ASIA'
-      |  AND o_orderdate >= TIMESTAMP '2024-01-01'
-      |  AND o_orderdate < TIMESTAMP '2025-01-01'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
       |GROUP BY n_name""".stripMargin))
 
   /** q77 — schema evolution across snapshots: a v1 projection (no

@@ -27,6 +27,19 @@ object VerifyOne {
       SparkEntry.oracleSql.get(name).foreach(sql =>
         Files.writeString(Paths.get(s"$outDir/$name.sql"), sql))
     }
+    // subset oracle_sql.json so tools/selfcheck.py runs directly on outDir
+    def esc(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val subset = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      subset.map { case (k, v) => s"${esc(k)}: ${esc(v)}" }.mkString("{", ",", "}"))
     graft.operators.Dedup.releaseCaches(spark)
     spark.stop()
   }

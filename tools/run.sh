@@ -16,6 +16,6 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
 done
 exec java $OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -Xmx8g \
+  -Xmx${GRAFT_XMX:-8g} \
   -cp "$CLASSES:/opt/spark/jars/*" \
   "$CLASS" "$@"
