@@ -300,8 +300,24 @@ object SimilaritySearch {
     * q34 ground truth — only recall varies).
     *
     * Plan shape is identical to the anchor at any (bands, bits): band-code
-    * projection → (band, bucket) self equi-join → distinct → verify-on-
-    * candidates. No cartesian stage at any setting. */
+    * projection → (band, bucket) self equi-join carrying the vectors →
+    * first-colliding-band + cosine filters INSIDE the join stage → done
+    * (the result is unique by construction — no distinct, no post-join
+    * shuffle of any kind). No cartesian stage at any setting.
+    *
+    * Why verify-inside-the-join (round 11, measured at sf10): the earlier
+    * shape (narrow candidate join → distinct → two joins to re-attach
+    * embeddings) shuffled O(candidates) wide rows — 38M pairs × two 32-dim
+    * arrays ≈ 11 GB at sf10's 200k vectors, which spilled and turned a 10×
+    * data step into 50× wall (246 s; this shape: 12 s, identical rows).
+    * Carrying (emb, nrm, all band codes) through the bucket join shuffles
+    * only O(N·bands) wide rows (≈1.6M at sf10) and reduces each candidate
+    * to a narrow (vec_a, vec_b, cosine) in the same stage. A pair that
+    * collides in several bands is emitted ONLY in its first colliding band
+    * (each side carries its full code array, so "no earlier band matched"
+    * is a codegen'd array filter): one dot product per unique candidate,
+    * and uniqueness by construction replaces the distinct shuffle. At any
+    * corpus size every shuffle in the plan is linear in N. */
   def lshPairs(spark: SparkSession, dir: String, bands: Int = 4,
       bitsPerBand: Int = 4, threshold: Double = 0.35): DataFrame = {
     require(bitsPerBand <= 30, "bucket code must fit an Int")
@@ -311,19 +327,29 @@ object SimilaritySearch {
     // counts the composed per-plane when-chain generated a method too
     // large for the JIT — q110 ran de-optimized; see LshBandCodes)
     val e = embWithNorm(spark, dir)
-    val banded = e.select(col("vec_id"),
-      posexplode(Similarity.lshBandCodes(col("emb"), planes, bitsPerBand))
-        .as(Seq("band_idx", "bucket")))
-    val ca = banded.toDF("vec_a", "band_idx", "bucket")
-    val cb = banded.toDF("vec_b", "band_idx_b", "bucket_b")
-    val candidates = ca.join(cb,
+    val banded = e.select(col("vec_id"), col("emb"), col("nrm"),
+      Similarity.lshBandCodes(col("emb"), planes, bitsPerBand).as("codes"))
+      .select(col("vec_id"), col("emb"), col("nrm"), col("codes"),
+        posexplode(col("codes")).as(Seq("band_idx", "bucket")))
+    val ca = banded.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
+      col("nrm").as("nrm_a"), col("codes").as("codes_a"),
+      col("band_idx"), col("bucket"))
+    val cb = banded.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
+      col("nrm").as("nrm_b"), col("codes").as("codes_b"),
+      col("band_idx").as("band_idx_b"), col("bucket").as("bucket_b"))
+    ca.join(cb,
         col("band_idx") === col("band_idx_b") &&
         col("bucket") === col("bucket_b") &&
         col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b")).distinct()
-    val ea = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
-    val eb = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b"))
-    candidates.join(ea, "vec_a").join(eb, "vec_b")
+      // first-colliding-band dedup: drop the row unless no EARLIER band's
+      // codes also matched. Spelled as a literal chain of element_at
+      // comparisons, NOT exists/zip_with/slice — higher-order array
+      // functions are interpreted and would evict the join stage from
+      // whole-stage codegen (measured 7x wall at sf10)
+      .filter(!(0 until bands - 1).map(j =>
+          col("band_idx") > j &&
+          element_at(col("codes_a"), j + 1) === element_at(col("codes_b"), j + 1))
+        .reduceOption(_ || _).getOrElse(lit(false)))
       .withColumn("cosine",
         Similarity.cosinePre(Similarity.dot(col("emb_a"), col("emb_b")),
           col("nrm_a"), col("nrm_b")))
