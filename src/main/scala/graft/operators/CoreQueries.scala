@@ -482,34 +482,39 @@ object CoreQueries {
       |    - epoch_us(MAX(first_signup_ts))) / 86400000000.0 AS conversion_days
       |FROM flagged GROUP BY user_id""".stripMargin))
 
-  /** Cohort retention: users grouped by first-activity month, distinct
-    * active users per (cohort, activity month) — two stacked aggregations,
-    * both keyed on user/month. */
+  /** Cohort retention: users grouped by first-activity week, distinct
+    * active users per (cohort, activity week) — two stacked aggregations,
+    * both keyed on user/week. WEEK grain, not month: the driver events
+    * table spans ~one month, so monthly cohorts degenerate to a single
+    * all-users row (r11 found exactly that trivially-passing shape);
+    * weekly cohorts give a real retention triangle at every SF. Both
+    * engines truncate weeks to Monday, and the week delta is day-diff/7 —
+    * exact, since both operands are week-truncated. */
   val q44CohortRetention: Q = Q(
     "q44_cohort_retention",
     (s, dir) => {
       val ev = Tables(s, dir, "events")
       val cohorts = ev.groupBy(col("user_id"))
-        .agg(date_trunc("month", min(col("ts"))).as("cohort_month"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
       val activity = ev.select(col("user_id"),
-        date_trunc("month", col("ts")).as("activity_month")).distinct()
+        date_trunc("week", col("ts")).as("activity_week")).distinct()
       activity.join(cohorts, Seq("user_id"))
-        .groupBy(col("cohort_month"), col("activity_month"))
+        .groupBy(col("cohort_week"), col("activity_week"))
         .agg(countDistinct(col("user_id")).as("active_users"))
-        .withColumn("months_since_cohort",
-          months_between(col("activity_month"), col("cohort_month")).cast("long"))
+        .withColumn("weeks_since_cohort",
+          (datediff(col("activity_week"), col("cohort_week")) / lit(7)).cast("long"))
     },
     Some("""WITH cohorts AS (
-      |  SELECT user_id, date_trunc('month', MIN(ts)) AS cohort_month
+      |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
       |  FROM events GROUP BY user_id),
       |activity AS (
-      |  SELECT DISTINCT user_id, date_trunc('month', ts) AS activity_month FROM events)
-      |SELECT CAST(cohort_month AS TIMESTAMP) AS cohort_month,
-      |  CAST(activity_month AS TIMESTAMP) AS activity_month,
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week FROM events)
+      |SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+      |  CAST(activity_week AS TIMESTAMP) AS activity_week,
       |  COUNT(DISTINCT user_id) AS active_users,
-      |  CAST(datediff('month', cohort_month, activity_month) AS BIGINT) AS months_since_cohort
+      |  CAST(datediff('day', cohort_week, activity_week) / 7 AS BIGINT) AS weeks_since_cohort
       |FROM activity JOIN cohorts USING (user_id)
-      |GROUP BY cohort_month, activity_month""".stripMargin))
+      |GROUP BY cohort_week, activity_week""".stripMargin))
 
   /** Data-quality profile of the orders table (Checks.profile): per-column
     * null and exact distinct counts as rows. */
