@@ -518,12 +518,15 @@ object Dedup {
         col("band_idx") === col("band_idx_b") &&
         col("band_bits") === col("band_bits_b") &&
         col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
-      .distinct()
+      // hamming BEFORE distinct: the radius test is per-row computable, so
+      // filtering in the join stage means the distinct shuffle carries only
+      // radius-passing pairs instead of every band collision (the same
+      // shrink-before-shuffle rule as lshPairs — ARCHITECTURE rule 8)
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"),
         col("hamming").cast("long").as("hamming"))
+      .distinct()
   }
 
   val q33SimHash: Q = Q(
