@@ -38,15 +38,18 @@ for name, sql in sorted(oracle.items()):
     b = duck_df[sc].sort_values(sc, na_position="last").reset_index(drop=True)
     bad = None
     for col in sc:
-        av, bv = a[col].tolist(), b[col].tolist()
-        for i, (x, y) in enumerate(zip(av, bv)):
-            xn = x is None or pd.isna(x)
-            yn = y is None or pd.isna(y)
-            if xn and yn:
-                continue
-            if xn != yn or x != y:
-                bad = (col, i, x, y); break
-        if bad: break
+        av, bv = a[col], b[col]
+        # vectorized exact-equality with NULL==NULL (same semantics as the
+        # old per-value loop, which was minutes on multi-million-row results)
+        an, bn = av.isna(), bv.isna()
+        try:
+            eq = (av == bv) | (an & bn)
+        except Exception:
+            eq = pd.Series([(x is None or pd.isna(x)) and (y is None or pd.isna(y))
+                            or (x == y) for x, y in zip(av.tolist(), bv.tolist())])
+        if not bool(eq.all()):
+            i = int((~eq).idxmax())
+            bad = (col, i, av.iloc[i], bv.iloc[i]); break
     if bad:
         fails.append((name, f"value mismatch col={bad[0]} row={bad[1]}: spark={bad[2]!r} duck={bad[3]!r}"))
     else:
