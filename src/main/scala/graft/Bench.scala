@@ -40,7 +40,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the registry's bounded model-grain global windows
+    // (dim surrogate keys, bucket offsets, top-k reranks — all
+    // partition-count- or vocabulary-sized, PlanAuditSpec-audited) each
+    // emit a WindowExec single-partition WARN per pass; at 111 queries × 3
+    // passes the spam dominates the driver's combined-stream capture and
+    // buries the one-line bench contract (BENCH_r10 tail was ~100% this
+    // warning). The warning carries no signal here by construction.
+    spark.sparkContext.setLogLevel("ERROR")
     // Untimed warmup: exercises codegen/JIT/parquet-footer paths once so the
     // first timed query doesn't absorb JVM warmup (flagship on sf0.001).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
