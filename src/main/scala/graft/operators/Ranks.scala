@@ -72,28 +72,30 @@ object Ranks {
       sampleOn: Option[Column] = None): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     // over-decompose to smooth hash collisions + skew, but cap: bucket count
-    // only needs to exceed core count, and each bound is O(keys) literals in
-    // the plan — parts×4 uncapped would embed 40k literal tuples at a 10k-
-    // partition cluster config.
+    // only needs to exceed core count, and the driver-side sample is
+    // 64·buckets rows — parts×4 uncapped would sample ~2.5M rows at a 10k-
+    // partition cluster config for no extra balance. (Since the bounds
+    // moved from inlined plan literals into RangeBucketId's reference
+    // object, the cap no longer protects codegen — generated code is
+    // constant-size at any bucket count — only driver sample cost.)
     val buckets = math.min(parts * 4, 4096)
     val split = order.map(Bridge.splitSortOrder)
     val keyCols = split.map(_._1)
     val asc = split.map(_._2)
 
     val bounds = splitterBounds(df, order, buckets, sampleMod, sampleOn)
-    // binary search over the sorted bounds: expression size stays O(bounds)
-    // but each row evaluates only O(log bounds) lexicographic comparisons —
-    // at shuffle.partitions=200 that is ~10 predicates/row, not ~800.
-    // search(lo, hi) returns the row's bucket given it is after bounds
-    // [0, lo) and not after bounds [hi, n).
-    def search(lo: Int, hi: Int): Column =
-      if (lo >= hi) lit(lo)
-      else {
-        val mid = (lo + hi) / 2
-        when(afterBound(keyCols, asc, bounds(mid)), search(mid + 1, hi))
-          .otherwise(search(lo, mid))
-      }
-    // Null guard: a NULL key would make every `afterBound` comparison NULL
+    // Bucket id: a native binary-search expression over the sorted bounds
+    // (expressions.RangeBucketId). The previous formulation inlined the
+    // search as a nested CASE tree of literal comparisons — O(log B) evals
+    // per row but O(B) generated CODE, and at shuffle.partitions=256
+    // (1024 buckets) the tree blew Janino's 64 KB method limit and evicted
+    // the whole consumer stage (q84's BM25 scorer) from whole-stage
+    // codegen — caught by the sf100 probe; a real cluster's partition
+    // count would hit it on every run. The native expression's generated
+    // code is constant-size at ANY bucket count (box keys, call the bounds
+    // searcher), so the stage stays codegen-clean at cluster configs.
+    //
+    // Null guard: a NULL key would make afterBound-style comparisons NULL
     // and silently drop the row into bucket 0 while the within-bucket window
     // orders it NULLS FIRST/LAST — shifting ranks for every in-between row
     // with no error. Fail loudly — but NOT with a per-row `raise_error` in
@@ -101,14 +103,15 @@ object Ranks {
     // expression evicts the WHOLE stage from whole-stage codegen, so every
     // upstream column in the stage (for q84, the entire BM25 scorer over the
     // words arrays) re-evaluates interpreted — measured 3× on q84/q104/q106.
-    // Instead NULL keys take the codegen-friendly sentinel bucket −1 here,
-    // and the raise lives in the OFFSETS relation below as a FILTER —
-    // bucket grain, ≤`buckets`+1 rows, and pruning-proof: even a consumer
-    // that drops the rank and every running sum still executes the
+    // Instead NULL keys take the sentinel bucket −1 (inside RangeBucketId —
+    // codegen-clean), and the raise lives in the OFFSETS relation below as
+    // a FILTER — bucket grain, ≤`buckets`+1 rows, and pruning-proof: even a
+    // consumer that drops the rank and every running sum still executes the
     // broadcast join, which materializes the filtered relation — so a
     // violating corpus fails loudly before any output row can be observed.
-    val anyKeyNull = keyCols.map(_.isNull).reduce(_ || _)
-    val pid = when(anyKeyNull, lit(-1)).otherwise(search(0, bounds.length))
+    val pid = Bridge.column(graft.expressions.RangeBucketId(
+      keyCols.map(Bridge.expression), asc,
+      bounds.map(r => Array.tabulate(r.length)(r.get)).toArray))
     val withPid = df.withColumn("__pid", pid)
 
     // 2. within-bucket rank / running sums (partitioned window — parallel)
@@ -247,19 +250,6 @@ object Ranks {
     else (1 until buckets)
       .map(i => sorted((i.toLong * sorted.length / buckets).toInt))
       .distinct
-  }
-
-  /** "Row's key sorts strictly AFTER the bound tuple" as a Column predicate
-    * — lexicographic over the key columns with per-column direction. Rows
-    * exactly equal to a bound stay in the earlier bucket. */
-  private def afterBound(keys: Seq[Column], asc: Seq[Boolean], b: Row): Column = {
-    val n = keys.length
-    def strictAfter(i: Int): Column =
-      if (asc(i)) keys(i) > lit(b.get(i)) else keys(i) < lit(b.get(i))
-    def from(i: Int): Column =
-      if (i == n - 1) strictAfter(i)
-      else strictAfter(i) || (keys(i) === lit(b.get(i)) && from(i + 1))
-    from(0)
   }
 
   /** Lexicographic Ordering over sample rows (null-free total-order keys:

@@ -12,9 +12,14 @@ object TimeQ {
     val sfDir = args.head
     val names = args.tail.toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Out-of-gate decades (sf10/sf100 probes) need more reduce partitions
+    // than cores: at 600M-row shuffles, 32 partitions are ~2 GB each and
+    // spill. Set SPARK_GRAFT_SHUFFLE above the core count and let AQE
+    // coalesce small stages back down; the driver-gate default stays cpus.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC") // match driver/Verify
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -30,4 +30,15 @@ object Bridge {
     * it themselves. */
   def normalizeFloats(e: Expression): Expression =
     org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
+  /** Spark's interpreted SQL ordering for a data type over INTERNAL values
+    * (UTF8String binary bytes for strings, NaN-aware for floating point) —
+    * the same order codegen'd SortOrder comparisons use. Backs the
+    * constant-code-size bucket search in expressions.RangeBucketId. */
+  def interpretedOrdering(dt: org.apache.spark.sql.types.DataType): Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
+
+  /** external (Row) value → catalyst internal value converter for a type. */
+  def toCatalystConverter(dt: org.apache.spark.sql.types.DataType): Any => Any =
+    org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter(dt)
 }
