@@ -14,8 +14,11 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# GRAFT_SPARK_OPTS: extra -Dspark.* system properties (SparkConf picks
+# them up) — lets probes try runtime-filter/AQE settings without edits.
 exec java $OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  ${GRAFT_SPARK_OPTS:-} \
   -Xmx${GRAFT_XMX:-8g} \
   -cp "$CLASSES:/opt/spark/jars/*" \
   "$CLASS" "$@"
