@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Cluster-posture session settings shared by the harness mains
+  * (Verify/Bench/TimeQ/VerifyOne/ExplainExec).
+  *
+  * `spark.io.compression.codec=zstd`: the sf100 decade showed the
+  * single-disk shuffle path is BYTES-bound, not CPU-bound — q74's 600M-row
+  * lineitem shuffle went 356 s → ~50 s warm just by switching the shuffle/
+  * spill codec from lz4 to zstd (the numeric fact columns compress ~3×
+  * better, and the smaller spill set stays inside the page cache instead
+  * of forcing writeback). On a real cluster the same bytes ride the
+  * network, so the posture transfers. `spark.shuffle.file.buffer=1m`
+  * cuts write syscalls on wide fan-out shuffles (256 reducers × open
+  * files); memory cost is bounded by reducer count and small vs heap.
+  *
+  * Runtime bloom-filter thresholds are deliberately NOT baked: Spark
+  * sizes `bloom_filter_agg` from the creation side's rowCount estimate,
+  * which is None over raw parquet scans, so a forced filter at 100×
+  * corpus saturates its default 1M-item bitmap (FPP→1, all cost no
+  * pruning — measured at sf100: bloom alone bought 21%, zstd 5-7×).
+  * Probes can still enable them per-run via GRAFT_SPARK_OPTS.
+  *
+  * Every setting yields to an explicit `-Dspark.*` system property
+  * (GRAFT_SPARK_OPTS in tools/run.sh) so probes can A/B alternatives
+  * without source edits.
+  */
+object SparkPosture {
+  private val settings: Seq[(String, String)] = Seq(
+    "spark.io.compression.codec" -> "zstd",
+    "spark.shuffle.file.buffer" -> "1m")
+
+  def apply(b: SparkSession.Builder): SparkSession.Builder =
+    settings.foldLeft(b) { case (bb, (k, v)) =>
+      if (sys.props.contains(k)) bb else bb.config(k, v)
+    }
+}

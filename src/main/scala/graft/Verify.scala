@@ -11,7 +11,7 @@ object Verify {
     // at ANY shuffle.partitions (a cluster runs thousands, the gate runs
     // cpus). Default stays cpus — the driver contract is unchanged.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
+    val spark = SparkPosture(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")

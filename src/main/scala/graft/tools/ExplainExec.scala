@@ -4,6 +4,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import graft.SparkPosture
 
 object ExplainExec {
   def main(args: Array[String]): Unit = {
@@ -11,7 +12,7 @@ object ExplainExec {
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val spark = SparkPosture(SparkSession.builder()).master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import graft.SparkPosture
 import graft.SparkEntry
 
 /** Time individual registry queries under driver bench conditions
@@ -17,7 +18,7 @@ object TimeQ {
     // spill. Set SPARK_GRAFT_SHUFFLE above the core count and let AQE
     // coalesce small stages back down; the driver-gate default stays cpus.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
+    val spark = SparkPosture(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC") // match driver/Verify

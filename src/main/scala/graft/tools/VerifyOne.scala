@@ -2,6 +2,7 @@ package graft.tools
 
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
+import graft.SparkPosture
 import graft.SparkEntry
 
 /** Verify-style dump for a SUBSET of registry queries — self-check an
@@ -15,7 +16,7 @@ object VerifyOne {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     // sf>=10 probes want more reduce partitions than cores (see TimeQ)
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
+    val spark = SparkPosture(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
