@@ -31,8 +31,12 @@ object SparkPosture {
     "spark.io.compression.codec" -> "zstd",
     "spark.shuffle.file.buffer" -> "1m")
 
+  /** The pairs `apply` will set: the posture minus any key the launcher
+    * already pinned with -Dspark.* (SparkConf loads system properties, and
+    * a builder .config would silently beat them — so we decline instead). */
+  def effective: Seq[(String, String)] =
+    settings.filterNot { case (k, _) => sys.props.contains(k) }
+
   def apply(b: SparkSession.Builder): SparkSession.Builder =
-    settings.foldLeft(b) { case (bb, (k, v)) =>
-      if (sys.props.contains(k)) bb else bb.config(k, v)
-    }
+    effective.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
 }
