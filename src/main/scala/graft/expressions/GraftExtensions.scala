@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.heavyHittersEntry)
     ext.injectFunction(GraftExtensions.normalizeEntry)
     ext.injectFunction(GraftExtensions.countInArrayEntry)
+    ext.injectFunction(GraftExtensions.md5PrefixEntry)
     // HOF dot-product pattern → native codegen expression (bit-exact)
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofVectorOps)
     // physical planning for the custom TopKPerGroup logical operator
@@ -51,6 +52,13 @@ object GraftExtensions {
         "graft_count_in_array(arr, v) - count of elements equal to v in a string array"),
       (args: Seq[Expression]) => CountInArray(args(0), args(1)))
 
+  val md5PrefixEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_md5_prefix"),
+      info("graft_md5_prefix",
+        "graft_md5_prefix(bin, n) - first n hex nibbles of md5(bin) as a long"),
+      (args: Seq[Expression]) => Md5Prefix(args(0),
+        args(1).eval(null).asInstanceOf[Number].intValue()))
+
   val normalizeEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_normalize"),
       info("graft_normalize",
@@ -63,7 +71,7 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(dotEntry, cosineEntry, heavyHittersEntry, normalizeEntry,
-      countInArrayEntry).foreach { case (id, inf, builder) =>
+      countInArrayEntry, md5PrefixEntry).foreach { case (id, inf, builder) =>
       reg.registerFunction(id, inf, builder)
     }
   }

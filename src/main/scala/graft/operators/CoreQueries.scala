@@ -754,10 +754,9 @@ object CoreQueries {
     "q78_table_checksum",
     (s, dir) => Tables(s, dir, "orders")
       .select(col("o_orderstatus"),
-        conv(substring(md5(concat_ws("|",
+        graft.expressions.Md5Prefix.of(concat_ws("|",
           col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-          col("o_orderpriority")).cast("binary")), 1, 15), 16, 10)
-          .cast("long").as("h"))
+          col("o_orderpriority")).cast("binary"), 15).as("h"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(h)").as("checksum")),

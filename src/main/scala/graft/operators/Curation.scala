@@ -155,9 +155,8 @@ object Curation {
           ((col("w").cast("double") / col("wsum").cast("double")) * lit(200.0))
             / col("cnt").cast("double")))
       docs.join(broadcast(rates), Seq("source"))
-        .withColumn("u48", conv(substring(
-          md5(concat(col("doc_id").cast("string"), lit(":"), col("source")).cast("binary")),
-          1, 12), 16, 10).cast("long"))
+        .withColumn("u48", graft.expressions.Md5Prefix.of(
+          concat(col("doc_id").cast("string"), lit(":"), col("source")).cast("binary"), 12))
         .withColumn("kept",
           col("u48").cast("double") < col("rate") * lit(281474976710656.0))
         .groupBy(col("source"))

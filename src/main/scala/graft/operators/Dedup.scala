@@ -128,8 +128,8 @@ object Dedup {
         .select(col("doc_id"),
           explode(TextAnalysis.shingles(col("w"))).as("shingle"))
         .select(col("doc_id"), xxhash64(col("shingle")).as("h"),
-          conv(substring(md5(col("shingle").cast("binary")), 1, 15), 16, 10)
-            .cast("long").as("x60"))
+          graft.expressions.Md5Prefix.of(col("shingle").cast("binary"), 15)
+            .as("x60"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     }

@@ -24,8 +24,9 @@ object Sketches {
     * of "j:value", exactly `('0x'||substr(md5(j||':'||v),1,15))::BIGINT %
     * buckets` in DuckDB. */
   private def h(j: Int, c: Column, buckets: Int): Column =
-    pmod(conv(substring(md5(concat(lit(s"$j:"), c.cast("string")).cast("binary")),
-      1, 15), 16, 10).cast("long"), lit(buckets.toLong))
+    pmod(graft.expressions.Md5Prefix.of(
+      concat(lit(s"$j:"), c.cast("string")).cast("binary"), 15),
+      lit(buckets.toLong))
 
   private val CmsD = 4   // hash rows
   private val CmsW = 64  // buckets per row — small so collisions are REAL

@@ -504,7 +504,7 @@ object TextAnalysis {
     * enough that BIT_XOR never overflows, wide enough that a corpus-level
     * XOR collision is ~2⁻⁶⁰. */
   private def md5_60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    graft.expressions.Md5Prefix.of(c.cast("binary"), 15)
 
   /** PII detection patterns — deliberately restricted to constructs with
     * identical semantics in Java regex (Spark) and RE2 (DuckDB oracle):
@@ -625,9 +625,11 @@ object TextAnalysis {
         sum(octet_length(col("acc"))).as("injected_bytes"),
         sum(length(col("nfc"))).as("nfc_chars"),
         sum(octet_length(col("nfc"))).as("nfc_bytes"),
-        expr("bit_xor(cast(conv(substring(md5(cast(nfc as binary)), 1, 15), 16, 10) as bigint))")
+        call_function("bit_xor",
+          graft.expressions.Md5Prefix.of(col("nfc").cast("binary"), 15))
           .as("nfc_checksum"),
-        expr("bit_xor(cast(conv(substring(md5(cast(stripped as binary)), 1, 15), 16, 10) as bigint))")
+        call_function("bit_xor",
+          graft.expressions.Md5Prefix.of(col("stripped").cast("binary"), 15))
           .as("stripped_checksum"),
         sum(when(col("stripped") === col("text"), 1L).otherwise(0L))
           .as("roundtrip_docs")),
