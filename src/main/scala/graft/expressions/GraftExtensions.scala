@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.normalizeEntry)
     ext.injectFunction(GraftExtensions.countInArrayEntry)
     ext.injectFunction(GraftExtensions.md5PrefixEntry)
+    ext.injectFunction(GraftExtensions.md5RawEntry)
     // HOF dot-product pattern → native codegen expression (bit-exact)
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofVectorOps)
     // physical planning for the custom TopKPerGroup logical operator
@@ -59,6 +60,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => Md5Prefix(args(0),
         args(1).eval(null).asInstanceOf[Number].intValue()))
 
+  val md5RawEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_md5_raw"),
+      info("graft_md5_raw",
+        "graft_md5_raw(bin) - the 16 raw md5 digest bytes (binary order == hex-string order)"),
+      (args: Seq[Expression]) => Md5Raw(args(0)))
+
   val normalizeEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_normalize"),
       info("graft_normalize",
@@ -71,7 +78,7 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(dotEntry, cosineEntry, heavyHittersEntry, normalizeEntry,
-      countInArrayEntry, md5PrefixEntry).foreach { case (id, inf, builder) =>
+      countInArrayEntry, md5PrefixEntry, md5RawEntry).foreach { case (id, inf, builder) =>
       reg.registerFunction(id, inf, builder)
     }
   }

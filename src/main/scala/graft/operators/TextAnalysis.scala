@@ -402,12 +402,22 @@ object TextAnalysis {
 
   /** q39 — winnowing fingerprints (the rolling-hash document-fingerprint
     * scheme): hash every 8-char k-gram, slide a 4-position window, keep each
-    * window's minimum hash, distinct per doc. Codegen-friendly layout:
-    * posexplode the k-grams, windowed MIN over a 4-row frame (no interpreted
-    * array slicing). Hashes are md5 hex strings — engine-portable (identical
-    * in DuckDB), so unlike an xxhash64 formulation this is fully
-    * hash-checkable against the oracle; lowercase-hex string MIN/MAX order
-    * identically under both engines' binary collation. */
+    * window's minimum hash, distinct per doc. Hashes are md5 — engine-
+    * portable (identical in DuckDB), so unlike an xxhash64 formulation this
+    * is fully hash-checkable against the oracle. The hot path carries the
+    * digest as raw 16-byte BINARY ([[graft.expressions.Md5Raw]]): unsigned
+    * bytewise order == lowercase-hex lexicographic order, so window MIN /
+    * DISTINCT / group MIN-MAX rank identically while the built-in `md5()`'s
+    * per-row JCA lookup + 32-char hex string disappear from the per-gram
+    * loop; hex is re-derived with `lower(hex(...))` only for the doc-grain
+    * output rows. Grams are never materialized as an array — positions
+    * explode from a `sequence` and the substring is computed in the fused
+    * post-explode projection (the array-of-strings `transform` this
+    * replaces churned a per-doc gram array through an interpreted HOF).
+    * One shuffle total: whole docs repartition by doc_id BEFORE the
+    * explode (grams never ride an exchange), and the window, the
+    * (doc_id, fp) distinct, and the doc-grain agg all reuse that
+    * clustering. */
   val q39Winnowing: Q = Q(
     "q39_winnowing",
     (s, dir) => {
@@ -418,15 +428,17 @@ object TextAnalysis {
       Tables(s, dir, "documents")
         .repartition(col("doc_id"))
         .filter(length(col("text")) >= k)
-        .select(col("doc_id"),
-          posexplode(transform(
-            sequence(lit(1), length(col("text")) - (k - 1)),
-            i => col("text").substr(i, lit(k)))).as(Seq("pos", "gram")))
-        .withColumn("h", md5(col("gram").cast("binary")))
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - (k - 1))).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          graft.expressions.Md5Raw.of(
+            col("text").substr(col("pos"), lit(k)).cast("binary")).as("h"))
         .withColumn("fp", min(col("h")).over(win))
         .select(col("doc_id"), col("fp")).distinct()
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("fp_count"), min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+        .agg(count(lit(1)).as("fp_count"),
+          lower(hex(min(col("fp")))).as("min_fp"),
+          lower(hex(max(col("fp")))).as("max_fp"))
     },
     Some("""WITH pos AS (
       |  SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS pos
