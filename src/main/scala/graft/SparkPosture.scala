@@ -29,7 +29,14 @@ import org.apache.spark.sql.SparkSession
 object SparkPosture {
   private val settings: Seq[(String, String)] = Seq(
     "spark.io.compression.codec" -> "zstd",
-    "spark.shuffle.file.buffer" -> "1m")
+    "spark.shuffle.file.buffer" -> "1m") ++
+    // Catalog-stats mode (sources.Tables.statsMode): leaf rowCounts only
+    // reach the optimizer's Statistics visitor — and thus runtime
+    // bloom-filter sizing — when plan stats are on; keep the flag tied to
+    // the mode so the default path-scan posture is unchanged.
+    (if (graft.sources.Tables.statsMode)
+      Seq("spark.sql.cbo.planStats.enabled" -> "true")
+    else Nil)
 
   /** The pairs `apply` will set: the posture minus any key the launcher
     * already pinned with -Dspark.* (SparkConf loads system properties, and

@@ -200,26 +200,32 @@ object TextAnalysis {
     * rollup, AND the final join all run without further exchanges; the
     * token stream shuffles once per branch (word + bigram — Spark
     * materializes rather than shares subplans; verified 3 exchanges
-    * total in the executed plan). Ratios are divisions of exact longs,
-    * so both engines produce identical doubles. */
+    * total in the executed plan). Bigrams pair adjacent words with
+    * `element_at` on the still-in-scope token array inside the fused
+    * post-explode projection — NOT a `lead` window, which would sort the
+    * entire exploded word stream per doc just to look one row ahead
+    * (at corpus scale that sort dwarfs the aggregates this query is
+    * actually about). Ratios are divisions of exact longs, so both
+    * engines produce identical doubles. */
   val q64RepetitionSignals: Q = Q(
     "q64_repetition_signals",
     (s, dir) => {
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
       val docs = Tables(s, dir, "documents")
         .repartition(col("doc_id"))
         .select(col("doc_id"), words(col("text")).as("w"))
         .filter(size(col("w")) >= 2)
-      val wx = docs.select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
+      val wx = docs.select(col("doc_id"), explode(col("w")).as("word"))
       val wordStats = wx.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id")).agg(
           sum(col("c")).as("n_words"),
           count(lit(1)).as("n_distinct"),
           max(col("c")).as("top_word_c"))
-      val bg = wx.withColumn("nxt", lead(col("word"), 1).over(win))
-        .filter(col("nxt").isNotNull)
-        .select(col("doc_id"), concat_ws(" ", col("word"), col("nxt")).as("bigram"))
+      val bg = docs
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(1), size(col("w")) - 1)).as("i"))
+        .select(col("doc_id"), concat_ws(" ",
+          element_at(col("w"), col("i")),
+          element_at(col("w"), col("i") + 1)).as("bigram"))
       val bgStats = bg.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id")).agg(
           sum(col("c")).as("n_bigrams"),

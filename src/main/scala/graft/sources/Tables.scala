@@ -30,15 +30,53 @@ object Tables {
       // to session-zoned TimestampType (session tz is pinned UTC) so every
       // downstream operator sees one type.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/$name.parquet")
+      val df = read(spark, dir, name)
       df.schema("ts").dataType match {
         case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         case TimestampType => df
         case _ => df.withColumn("ts", df("ts").cast(TimestampType))
       }
     } else {
-      spark.read.parquet(s"$dir/$name.parquet")
+      read(spark, dir, name)
     }
+
+  /** Path scan, or the ANALYZEd catalog table in stats mode. */
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (statsMode) analyzedTable(spark, dir, name)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Catalog-stats mode (`GRAFT_CATALOG_STATS=1`): route table reads
+    * through external catalog tables with COMPUTEd statistics instead of
+    * bare path scans.
+    *
+    * Why: a path-based parquet scan has NO rowCount statistic — only a
+    * byte size — so (a) Catalyst's runtime bloom filters fall back to the
+    * 1M-item `expectedNumItems` default, which saturates (FPP→1) against
+    * the 25M-key creation sides of a 100× corpus (measured at sf100:
+    * forced bloom on q74 bought 21% where a sized one should prune most
+    * of the probe side), and (b) CBO/plan-stats estimates degrade to
+    * size-only guesses. A production deployment reads through a catalog
+    * (metastore/Unity/Glue) where ANALYZE-maintained rowCounts exist;
+    * this mode reproduces that posture for the file-only harness. Pair
+    * with `spark.sql.cbo.planStats.enabled=true` (set it in
+    * [[graft.SparkPosture]] via GRAFT_SPARK_OPTS or the same env) so
+    * leaf rowCounts actually reach the optimizer's Statistics visitor.
+    *
+    * Registration is session-idempotent and dir-distinct (table name
+    * carries a hash of the path); ANALYZE's COUNT(*) is footer-cheap
+    * over parquet. Results are identical to the path scan — the full
+    * registry is oracle-swept in this mode (see PLANS.md). */
+  def statsMode: Boolean = sys.env.get("GRAFT_CATALOG_STATS").contains("1")
+
+  private def analyzedTable(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val tbl = s"graft_${name}_${Integer.toHexString(s"$dir/$name".hashCode)}"
+    if (!spark.catalog.tableExists(tbl)) {
+      spark.sql(s"CREATE TABLE IF NOT EXISTS $tbl USING parquet " +
+        s"LOCATION '$dir/$name.parquet'")
+      spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS")
+    }
+    spark.table(tbl)
+  }
 
   /** CSV scan with explicit schema (reference S1, main.py:44-49, but with
     * deterministic types instead of inference). header=true matches the
