@@ -66,17 +66,50 @@ object Tables {
     * carries a hash of the path); ANALYZE's COUNT(*) is footer-cheap
     * over parquet. Results are identical to the path scan — the full
     * registry is oracle-swept in this mode (see PLANS.md). */
-  def statsMode: Boolean = sys.env.get("GRAFT_CATALOG_STATS").contains("1")
+  def statsMode: Boolean =
+    sys.env.get("GRAFT_CATALOG_STATS").exists(v => v == "1" || v == "full")
+
+  /** `GRAFT_CATALOG_STATS=full` additionally computes COLUMN statistics
+    * (ndv/min/max per column). Table-level rowCount alone dies at the
+    * first Filter above the scan: FilterEstimation cannot price a
+    * predicate without column stats, so the post-filter rowCount reverts
+    * to None and the runtime bloom falls back to its 1M default anyway —
+    * observed on the q74 date window at sf10. Column stats cost one extra
+    * aggregate pass per table at registration; a metastore deployment
+    * would maintain them incrementally. */
+  private def fullStats: Boolean =
+    sys.env.get("GRAFT_CATALOG_STATS").contains("full")
 
   private def analyzedTable(spark: SparkSession, dir: String, name: String): DataFrame = {
     val tbl = s"graft_${name}_${Integer.toHexString(s"$dir/$name".hashCode)}"
     if (!spark.catalog.tableExists(tbl)) {
       spark.sql(s"CREATE TABLE IF NOT EXISTS $tbl USING parquet " +
         s"LOCATION '$dir/$name.parquet'")
-      spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS")
+      // ANALYZE FOR COLUMNS rejects nested types (ARRAY/STRUCT/MAP).
+      // TIMESTAMP_NTZ columns are deliberately excluded too: Spark 4.1's
+      // FilterEstimation.evaluateBinary has no TimestampNTZType case, so a
+      // RANGE PREDICATE over an NTZ column WITH column stats MatchErrors
+      // inside the optimizer once spark.sql.cbo.enabled is on — the whole
+      // query dies with INTERNAL_ERROR (reproduced on q74's date window;
+      // see CatalogStatsSpec). No stats → no estimation attempt → the
+      // query plans fine, just without a selectivity estimate there.
+      val cols = if (fullStats) statColumns(spark.table(tbl).schema) else Nil
+      spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS" +
+        (if (cols.nonEmpty) cols.map(c => s"`$c`").mkString(" FOR COLUMNS ", ", ", "")
+        else ""))
     }
     spark.table(tbl)
   }
+
+  /** The columns `full` stats mode ANALYZEs (see comment at the call
+    * site for the TIMESTAMP_NTZ exclusion). */
+  private[graft] def statColumns(schema: StructType): Seq[String] =
+    schema.fields.toSeq.collect {
+      case f if !f.dataType.isInstanceOf[ArrayType] &&
+        !f.dataType.isInstanceOf[MapType] &&
+        !f.dataType.isInstanceOf[StructType] &&
+        f.dataType != TimestampNTZType => f.name
+    }
 
   /** CSV scan with explicit schema (reference S1, main.py:44-49, but with
     * deterministic types instead of inference). header=true matches the

@@ -61,6 +61,48 @@ class CatalogStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("full mode excludes nested AND TIMESTAMP_NTZ columns from ANALYZE") {
+    import org.apache.spark.sql.types._
+    assert(Tables.statColumns(Tables.schemas("lineitem")) ==
+      Tables.schemas("lineitem").fieldNames.toSeq)
+    assert(Tables.statColumns(Tables.schemas("embeddings")) ==
+      Seq("vec_id", "label")) // embedding: ARRAY<FLOAT> unsupported by ANALYZE
+    val ntz = StructType(Seq(
+      StructField("k", LongType), StructField("d", TimestampNTZType)))
+    assert(Tables.statColumns(ntz) == Seq("k"))
+  }
+
+  test("UPSTREAM PIN: NTZ column stats + range predicate MatchErrors under CBO") {
+    // Spark 4.1 FilterEstimation.evaluateBinary has no TimestampNTZType
+    // case: a range predicate over an NTZ column THAT HAS column stats
+    // MatchErrors inside BasicStatsPlanVisitor, killing the whole query
+    // with INTERNAL_ERROR when spark.sql.cbo.enabled is on. This is why
+    // statColumns excludes NTZ. If a Spark upgrade makes this test FAIL
+    // (no more MatchError), drop the exclusion and re-enable NTZ stats.
+    val tbl = "graft_spec_ntz_pin"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING parquet LOCATION '$dir/orders.parquet'")
+    assume(spark.table(tbl).schema("o_orderdate").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS o_orderdate")
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val filtered = spark.table(tbl)
+        .filter("o_orderdate >= timestamp'1996-01-01'")
+      val err = intercept[Throwable] {
+        filtered.queryExecution.optimizedPlan.stats
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(err).exists(_.isInstanceOf[scala.MatchError]),
+        s"expected a MatchError in the cause chain, got $err")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
   test("events normalization applies on the catalog route too") {
     // Tables.apply("events") must yield TimestampType regardless of route;
     // the catalog table surfaces whatever physical type the footer has.
