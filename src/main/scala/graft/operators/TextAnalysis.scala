@@ -921,12 +921,17 @@ object TextAnalysis {
     * exercises the no-drop reconstruction path: cleaned_text must rebuild
     * the original token stream exactly). */
   def stripBoilerplate(docs: DataFrame, minDocs: Int = 3): DataFrame = {
+    // block starts explode from a sequence and the block text is built by
+    // slice+array_join in the fused post-explode projection — `transform`
+    // (a higher-order function, interpreted) would materialize a per-doc
+    // array of block strings AND evict the stage from codegen
     val blocks = docs
       .select(col("doc_id"), col("source"), words(col("text")).as("w"))
-      .select(col("doc_id"), col("source"), posexplode(
-        expr("transform(sequence(1, size(w), 8), st -> array_join(slice(w, st, 8), ' '))"))
-        .as(Seq("bi", "btxt")))
-      .withColumn("bi", col("bi").cast("long"))
+      .select(col("doc_id"), col("source"), col("w"),
+        explode(sequence(lit(1), size(col("w")), lit(8))).as("st"))
+      .select(col("doc_id"), col("source"),
+        expr("CAST((st - 1) div 8 AS BIGINT)").as("bi"),
+        array_join(slice(col("w"), col("st"), lit(8)), " ").as("btxt"))
     val freq = blocks.groupBy(col("source"), col("btxt"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))
     blocks.join(freq, Seq("source", "btxt"))
