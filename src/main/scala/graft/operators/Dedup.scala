@@ -121,12 +121,22 @@ object Dedup {
     * serialize everything downstream on a single task. */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "shingled") {
+      // positions explode from a sequence and each 3-gram is concatenated
+      // in the fused post-explode projection — the array-of-shingles
+      // `transform` HOF this replaces is interpreted and materialized every
+      // doc's full shingle array before the explode (same lesson as q39/
+      // q108; the memo build is the one place the whole sketch family
+      // pays it)
       Tables(spark, dir, "documents")
         .repartition(col("doc_id"))
         .withColumn("w", TextAnalysis.words(col("text")))
         .filter(size(col("w")) >= 3)
-        .select(col("doc_id"),
-          explode(TextAnalysis.shingles(col("w"))).as("shingle"))
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(1), size(col("w")) - 2)).as("i"))
+        .select(col("doc_id"), concat_ws(" ",
+          element_at(col("w"), col("i")),
+          element_at(col("w"), col("i") + 1),
+          element_at(col("w"), col("i") + 2)).as("shingle"))
         .select(col("doc_id"), xxhash64(col("shingle")).as("h"),
           graft.expressions.Md5Prefix.of(col("shingle").cast("binary"), 15)
             .as("x60"))
