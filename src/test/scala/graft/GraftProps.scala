@@ -522,4 +522,21 @@ object GraftProps extends Properties("graft") {
         .toMap
       out == expected
     }
+
+  property("Md5Raw: hex parity and unsigned-bytewise order == hex order") =
+    forAll(Gen.listOfN(2, Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)))) {
+      case List(aBytes, bBytes) =>
+        val (a, b) = (aBytes.toArray, bBytes.toArray)
+        def hex(d: Array[Byte]) = d.map("%02x".format(_)).mkString
+        val (da, db) = (graft.expressions.Md5Raw.digest(a),
+          graft.expressions.Md5Raw.digest(b))
+        val hexOk = hex(da) == org.apache.commons.codec.digest.DigestUtils.md5Hex(a)
+        // unsigned bytewise compare of raw digests vs String compare of hex
+        val cmpRaw = da.zip(db).collectFirst {
+          case (x, y) if x != y => (x & 0xff) compare (y & 0xff)
+        }.getOrElse(0)
+        val cmpHex = math.signum(hex(da) compare hex(db)).toInt
+        hexOk && math.signum(cmpRaw) == cmpHex
+      case _ => true
+    }
 }
