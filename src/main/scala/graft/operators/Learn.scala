@@ -248,19 +248,25 @@ object Learn {
   val q103DsirWeights: Q = Q(
     "q103_dsir_weights",
     (s, dir) => {
+      // BOTH language models come out of ONE (a, b)-grain aggregate over
+      // the bigram stream (target count = conditional sum on lang='en'),
+      // so the corpus explodes twice (counting + scoring), not three
+      // times, and one broadcast carries the combined LM. t2=0 marks a
+      // bigram the target LM never saw — the same rows the two-relation
+      // formulation's LEFT join missed (and when t2>0, t1>0 follows, so
+      // the guarded div is total).
       val bigrams = docBigrams(s, dir)
-      val s2 = bigrams.groupBy(col("a"), col("b")).agg(count(lit(1)).as("s2"))
-      val s1 = s2.groupBy(col("a")).agg(sum(col("s2")).as("s1"))
-      val t2 = bigrams.filter(col("lang") === "en")
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("t2"))
-      val t1 = t2.groupBy(col("a")).agg(sum(col("t2")).as("t1"))
-      val srcLm = s2.join(s1, "a")
-      val tgtLm = t2.join(t1, "a")
+      val counts = bigrams.groupBy(col("a"), col("b")).agg(
+        count(lit(1)).as("s2"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t2"))
+      val ones = counts.groupBy(col("a")).agg(
+        sum(col("s2")).as("s1"), sum(col("t2")).as("t1"))
+      val lm = counts.join(ones, "a")
       bigrams
-        .join(broadcast(srcLm), Seq("a", "b"))
-        .join(broadcast(tgtLm), Seq("a", "b"), "left")
+        .join(broadcast(lm), Seq("a", "b"))
         .withColumn("qs", expr("(1000000 * s2) div s1"))
-        .withColumn("qt", coalesce(expr("(1000000 * t2) div t1"), lit(0L)))
+        .withColumn("qt", expr(
+          "CASE WHEN t2 > 0 THEN (1000000 * t2) div t1 ELSE 0 END"))
         .groupBy(col("doc_id"), col("lang"))
         .agg(count(lit(1)).as("n_bigrams"),
           sum(col("qs")).as("sum_qs"), sum(col("qt")).as("sum_qt"))
