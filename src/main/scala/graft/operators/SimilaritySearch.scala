@@ -377,32 +377,79 @@ object SimilaritySearch {
     * The 64 hyperplanes are the deterministic `radPlanes` prefix — the
     * identical double literals appear in the Spark plan and the generated
     * oracle SQL, so both engines compute bitwise-equal band codes. */
+  /** The (8 bands × 8 bits) candidate+cosine oracle CTE chain shared by
+    * q110 and q111 — everything through `scored` (vec_a, vec_b, cosine ≥
+    * threshold), mirroring lshPairs' splitmix Rademacher planes as SQL
+    * literals. Prefix with WITH [RECURSIVE] at the call site. */
+  private def lshPairsOracleCte(threshold: Double): String = {
+    val planes = radPlanes(64)
+    def bandSql(b: Int) = (0 until 8).map { i =>
+      s"(CASE WHEN list_dot_product(emb, ${arraySql(planes(b * 8 + i))}) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val bandList = (0 until 8).map(bandSql).mkString("[", ", ", "]")
+    s"""$embOracleCte,
+       |banded AS (
+       |  SELECT vec_id, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band_idx,
+       |         unnest($bandList) AS bucket
+       |  FROM e),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band_idx = y.band_idx AND x.bucket = y.bucket
+       |   AND x.vec_id < y.vec_id),
+       |scored AS (
+       |  SELECT c.vec_a, c.vec_b,
+       |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cosine
+       |  FROM cand c
+       |  JOIN e a ON a.vec_id = c.vec_a
+       |  JOIN e b ON b.vec_id = c.vec_b
+       |  WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= $threshold)""".stripMargin
+  }
+
   val q110LshScaled: Q = Q(
     "q110_ann_lsh_scaled",
     (s, dir) => lshPairs(s, dir, bands = 8, bitsPerBand = 8),
-    Some {
-      val planes = radPlanes(64)
-      def bandSql(b: Int) = (0 until 8).map { i =>
-        s"(CASE WHEN list_dot_product(emb, ${arraySql(planes(b * 8 + i))}) > 0 THEN ${1 << i} ELSE 0 END)"
-      }.mkString(" + ")
-      val bandList = (0 until 8).map(bandSql).mkString("[", ", ", "]")
-      s"""WITH $embOracleCte,
-         |banded AS (
-         |  SELECT vec_id, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band_idx,
-         |         unnest($bandList) AS bucket
-         |  FROM e),
-         |cand AS (
-         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-         |  FROM banded x JOIN banded y
-         |    ON x.band_idx = y.band_idx AND x.bucket = y.bucket
-         |   AND x.vec_id < y.vec_id)
-         |SELECT c.vec_a, c.vec_b,
-         |  list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cosine
-         |FROM cand c
-         |JOIN e a ON a.vec_id = c.vec_a
-         |JOIN e b ON b.vec_id = c.vec_b
-         |WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.35""".stripMargin
-    })
+    Some(s"""WITH ${lshPairsOracleCte(0.35)}
+       |SELECT vec_a, vec_b, cosine FROM scored""".stripMargin))
+
+  /** q111 — embedding-level near-dup CLUSTERS: `lshPairs` at the dedup
+    * threshold (0.8 — planted dups sit at cosine ≳0.8, unrelated pairs
+    * scatter near 0) becomes the edge relation of the same min-label
+    * connected components q48 runs over Jaccard edges. The composition is
+    * the SemDeDup-style endgame a corpus pipeline actually ships:
+    * candidate generation bucket-bounded (lshPairs — every shuffle linear
+    * in N), edges O(true near-dups), components label-propagation with
+    * per-superstep localCheckpoint (diameter-bounded rounds; near-dup
+    * clusters are shallow). Oracle: the shared plane-mirroring pair CTE +
+    * a recursive min-reachability CTE, so the WHOLE composition —
+    * hyperplanes to cluster labels — is hash-checked cross-engine.
+    * Output grain: one row per clustered vector (singletons have no
+    * edges and no row, same as q48). */
+  val q111EmbeddingClusters: Q = Q(
+    "q111_embedding_clusters",
+    (s, dir) => {
+      val edges = lshPairs(s, dir, bands = 8, bitsPerBand = 8, threshold = 0.8)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      Dedup.connectedComponents(edges)
+        .select(col("doc_id").as("vec_id"), col("cluster_rep"))
+        .withColumn("cluster_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_rep"))))
+    },
+    Some(s"""WITH RECURSIVE ${lshPairsOracleCte(0.8)},
+       |edges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM scored
+       |  UNION
+       |  SELECT vec_b, vec_a FROM scored),
+       |nodes AS (SELECT DISTINCT src AS v FROM edges),
+       |reach(v, r) AS (
+       |  SELECT v, v FROM nodes
+       |  UNION
+       |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.v),
+       |labeled AS (
+       |  SELECT v AS vec_id, MIN(r) AS cluster_rep FROM reach GROUP BY v)
+       |SELECT vec_id, cluster_rep,
+       |  CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
+       |FROM labeled""".stripMargin))
 
   /** The 4 literal initial centroids for q62 (±0.25-entry vectors from the
     * same splitmix mixer as `pairPlanes` — deterministic, shared verbatim
@@ -976,5 +1023,5 @@ object SimilaritySearch {
 
   val all: Seq[Q] = Seq(q35BruteForceTopK, q36LshTopK, q37IvfTopK, q38LshPairs,
     q62KmeansStep, q65PqAdc, q75VectorStats, q85SemDedup, q109ClusterCards,
-    q110LshScaled)
+    q110LshScaled, q111EmbeddingClusters)
 }
