@@ -412,30 +412,34 @@ object SimilaritySearch {
     Some(s"""WITH ${lshPairsOracleCte(0.35)}
        |SELECT vec_a, vec_b, cosine FROM scored""".stripMargin))
 
-  /** q111 — embedding-level near-dup CLUSTERS: `lshPairs` at the dedup
-    * threshold (0.8 — planted dups sit at cosine ≳0.8, unrelated pairs
-    * scatter near 0) becomes the edge relation of the same min-label
-    * connected components q48 runs over Jaccard edges. The composition is
-    * the SemDeDup-style endgame a corpus pipeline actually ships:
-    * candidate generation bucket-bounded (lshPairs — every shuffle linear
-    * in N), edges O(true near-dups), components label-propagation with
-    * per-superstep localCheckpoint (diameter-bounded rounds; near-dup
-    * clusters are shallow). Oracle: the shared plane-mirroring pair CTE +
-    * a recursive min-reachability CTE, so the WHOLE composition —
+  /** q111 — embedding-level near-dup CLUSTERS: `lshPairs` becomes the
+    * edge relation of the same min-label connected components q48 runs
+    * over Jaccard edges. The composition is the SemDeDup-style endgame a
+    * corpus pipeline actually ships: candidate generation bucket-bounded
+    * (lshPairs — every shuffle linear in N), edges O(passing pairs),
+    * components label-propagation with per-superstep localCheckpoint
+    * (diameter-bounded rounds). Threshold pins the corpus's research
+    * setting (0.35 — the same regime q34/q38/q110 measure; this synthetic
+    * embedding table has NO pairs above ~0.6, so a production-style 0.9
+    * dedup threshold would oracle-pass on an EMPTY relation at every SF —
+    * the q74-empty-window trap — whereas 0.35 exercises real component
+    * structure at every gate SF; production raises the parameter, the
+    * plan shape is identical). Oracle: the shared plane-mirroring pair
+    * CTE + a recursive min-reachability CTE, so the WHOLE composition —
     * hyperplanes to cluster labels — is hash-checked cross-engine.
     * Output grain: one row per clustered vector (singletons have no
     * edges and no row, same as q48). */
   val q111EmbeddingClusters: Q = Q(
     "q111_embedding_clusters",
     (s, dir) => {
-      val edges = lshPairs(s, dir, bands = 8, bitsPerBand = 8, threshold = 0.8)
+      val edges = lshPairs(s, dir, bands = 8, bitsPerBand = 8, threshold = 0.35)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
       Dedup.connectedComponents(edges)
         .select(col("doc_id").as("vec_id"), col("cluster_rep"))
         .withColumn("cluster_size", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_rep"))))
     },
-    Some(s"""WITH RECURSIVE ${lshPairsOracleCte(0.8)},
+    Some(s"""WITH RECURSIVE ${lshPairsOracleCte(0.35)},
        |edges AS (
        |  SELECT vec_a AS src, vec_b AS dst FROM scored
        |  UNION
