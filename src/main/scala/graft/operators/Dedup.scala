@@ -47,7 +47,7 @@ object Dedup {
   private val hookedSessions =
     TrieMap.empty[SparkSession, org.apache.spark.scheduler.SparkListener]
 
-  private def memo(spark: SparkSession, dir: String, tag: String)(
+  private[operators] def memo(spark: SparkSession, dir: String, tag: String)(
       build: => DataFrame): DataFrame = memoCache.synchronized {
     // synchronized: TrieMap.getOrElseUpdate may run `build` twice under a
     // concurrent first access, persisting an orphan copy releaseCaches could

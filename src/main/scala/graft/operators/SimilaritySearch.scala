@@ -432,9 +432,16 @@ object SimilaritySearch {
   val q111EmbeddingClusters: Q = Q(
     "q111_embedding_clusters",
     (s, dir) => {
-      val edges = lshPairs(s, dir, bands = 8, bitsPerBand = 8, threshold = 0.35)
-        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-      Dedup.connectedComponents(edges)
+      // memoized like q48's clusters05: the label-propagation loop runs
+      // count() actions per superstep, so repeated in-session invocations
+      // must reuse one materialization (released with Dedup.releaseCaches)
+      val labels = Dedup.memo(s, dir, "embClusters035") {
+        val edges = lshPairs(s, dir, bands = 8, bitsPerBand = 8, threshold = 0.35)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        Dedup.connectedComponents(edges)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      labels
         .select(col("doc_id").as("vec_id"), col("cluster_rep"))
         .withColumn("cluster_size", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_rep"))))
