@@ -429,6 +429,22 @@ object SimilaritySearch {
     * hyperplanes to cluster labels — is hash-checked cross-engine.
     * Output grain: one row per clustered vector (singletons have no
     * edges and no row, same as q48). */
+  /** Production form of q111 — corpus-adaptive parameters, same plan
+    * shape at every setting: bits ≈ log2(N/64) keeps bucket populations
+    * constant as N grows (the lshPairs rule), and the threshold is the
+    * near-dup semantics knob (the research 0.35 graph PERCOLATES into one
+    * giant component by sf1 — real dedup thresholds sit where components
+    * are the planted-dup sets). Labels are NOT memoized here — callers
+    * own persistence; the registry entry memoizes its pinned point. */
+  def embeddingClusters(spark: SparkSession, dir: String, bands: Int,
+      bitsPerBand: Int, threshold: Double): DataFrame =
+    Dedup.connectedComponents(
+      lshPairs(spark, dir, bands, bitsPerBand, threshold)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_rep"))
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_rep"))))
+
   val q111EmbeddingClusters: Q = Q(
     "q111_embedding_clusters",
     (s, dir) => {
