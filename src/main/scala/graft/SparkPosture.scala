@@ -20,7 +20,13 @@ import org.apache.spark.sql.SparkSession
   * which is None over raw parquet scans, so a forced filter at 100×
   * corpus saturates its default 1M-item bitmap (FPP→1, all cost no
   * pruning — measured at sf100: bloom alone bought 21%, zstd 5-7×).
-  * Probes can still enable them per-run via GRAFT_SPARK_OPTS.
+  * Catalog-stats mode (sources.Tables.statsMode) supplies real
+  * rowCounts — and the round-12 probes showed table-level stats are
+  * STILL not enough for sized blooms (rowCount dies at the first
+  * unpriced Filter; column stats are the mechanism, `full` mode), while
+  * the default bloom caps (maxNumItems 4M / 64M bits) bound what sizing
+  * can buy at 25M-key creation sides regardless. Probes can still
+  * enable/raise everything per-run via GRAFT_SPARK_OPTS.
   *
   * Every setting yields to an explicit `-Dspark.*` system property
   * (GRAFT_SPARK_OPTS in tools/run.sh) so probes can A/B alternatives
