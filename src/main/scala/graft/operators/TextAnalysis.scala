@@ -15,8 +15,12 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
-  /** Whitespace tokenization of trimmed text (shared by all text ops). */
-  def words(c: Column): Column = split(trim(c), "\\s+")
+  /** Whitespace tokenization of trimmed text (shared by all text ops).
+    * Native byte-scan expression, value-exact to `split(trim(c), "\\s+")`
+    * — the built-in recompiles the regex and round-trips the whole
+    * document through java.lang.String per ROW (see WhitespaceTokens). */
+  def words(c: Column): Column =
+    graft.expressions.WhitespaceTokens.of(trim(c))
 
   /** Compiled per-term occurrence count over a words array — identical
     * semantics to `size(filter(w, x => x === lit(term)))` but one codegen'd

@@ -523,6 +523,20 @@ object GraftProps extends Properties("graft") {
       out == expected
     }
 
+  property("WhitespaceTokens == String.split(\"\\\\s+\", -1) on adversarial mixes") =
+    forAll(Gen.listOf(Gen.frequency(
+      4 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '\t', '\n', '\r', '\f', '\u000B'),
+      1 -> Gen.oneOf(' ', '　', 'é', '世', '|')))
+      .map(_.mkString)) { s =>
+      val got = graft.expressions.WhitespaceTokens
+        .split(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val want = s.split("\\s+", -1)
+      got.numElements() == want.length &&
+        (0 until got.numElements()).forall(i =>
+          got.getUTF8String(i).toString == want(i))
+    }
+
   property("Md5Raw: hex parity and unsigned-bytewise order == hex order") =
     forAll(Gen.listOfN(2, Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)))) {
       case List(aBytes, bBytes) =>
