@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.countInArrayEntry)
     ext.injectFunction(GraftExtensions.md5PrefixEntry)
     ext.injectFunction(GraftExtensions.md5RawEntry)
+    ext.injectFunction(GraftExtensions.wsTokensEntry)
     // HOF dot-product pattern → native codegen expression (bit-exact)
     ext.injectOptimizerRule(_ => graft.plans.RewriteHofVectorOps)
     // physical planning for the custom TopKPerGroup logical operator
@@ -66,6 +67,12 @@ object GraftExtensions {
         "graft_md5_raw(bin) - the 16 raw md5 digest bytes (binary order == hex-string order)"),
       (args: Seq[Expression]) => Md5Raw(args(0)))
 
+  val wsTokensEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_ws_tokens"),
+      info("graft_ws_tokens",
+        "graft_ws_tokens(s) - whitespace tokenization, value-exact to split(s, '\\\\s+')"),
+      (args: Seq[Expression]) => WhitespaceTokens(args(0)))
+
   val normalizeEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_normalize"),
       info("graft_normalize",
@@ -78,7 +85,8 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(dotEntry, cosineEntry, heavyHittersEntry, normalizeEntry,
-      countInArrayEntry, md5PrefixEntry, md5RawEntry).foreach { case (id, inf, builder) =>
+      countInArrayEntry, md5PrefixEntry, md5RawEntry,
+      wsTokensEntry).foreach { case (id, inf, builder) =>
       reg.registerFunction(id, inf, builder)
     }
   }
