@@ -103,6 +103,31 @@ class CatalogStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("statColumns-guided ANALYZE keeps date-window queries alive under CBO") {
+    // the end-to-end counterpart of the UPSTREAM PIN: with the NTZ column
+    // excluded exactly as full mode excludes it, the same query that dies
+    // when o_orderdate has stats plans and runs fine under cbo.enabled
+    val tbl = "graft_spec_cbo_safe"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING parquet LOCATION '$dir/orders.parquet'")
+    val cols = Tables.statColumns(spark.table(tbl).schema)
+    assert(!cols.contains("o_orderdate"))
+    spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS" +
+      cols.map(c => s"`$c`").mkString(" FOR COLUMNS ", ", ", ""))
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val n = spark.table(tbl)
+        .filter("o_orderdate >= timestamp'1996-01-01' AND " +
+          "o_orderdate < timestamp'1997-01-01'")
+        .count()
+      assert(n > 0)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
   test("events normalization applies on the catalog route too") {
     // Tables.apply("events") must yield TimestampType regardless of route;
     // the catalog table surfaces whatever physical type the footer has.
