@@ -347,7 +347,7 @@ object Curation {
   }
 
   val q110SourceSimilarity: Q = Q(
-    "q110_source_similarity",
+    "q112_source_similarity",
     (s, dir) => sourceTv(Tables(s, dir, "documents")),
     Some("""WITH tc AS (
       |  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt

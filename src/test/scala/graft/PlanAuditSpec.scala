@@ -37,7 +37,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q100_chi2_terms",       // 1-row class-totals broadcast cross (contingency margins)
     "q101_hybrid_retrieval", // q84's stats cross + 1-row query-vector broadcast
     "q104_bm25_ln",          // q84's one-row corpus-stats broadcast (ln-idf twin)
-    "q110_source_similarity") // source-grain pair grid (bounded source set)
+    "q112_source_similarity") // source-grain pair grid (bounded source set)
 
   /** Queries allowed to keep an unpartitioned WindowExec that the
     * reachability heuristic below cannot prove tiny. (Windows whose input
