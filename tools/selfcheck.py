@@ -2,13 +2,22 @@
 """Local mimic of the driver's t2 correctness gate: for each query dumped by
 graft.Verify, run the oracle SQL in DuckDB over the same testdata parquet and
 compare (columns sorted by name, rows sorted, exact values)."""
-import json, math, sys
+import json, math, os, sys
 import duckdb
 import pandas as pd
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+
+# DuckDB defaults to 80% of PHYSICAL RAM with no spill dir; at sf>=10 the
+# master-join oracle alone reached 67 GB anon RSS and got OOM-killed while
+# Spark JVMs were co-resident. Cap it (GRAFT_DUCK_MEM, default 24GB) and
+# point spills at a temp dir so big oracle queries degrade to disk instead
+# of taking down the process.
+DUCK_MEM = os.environ.get("GRAFT_DUCK_MEM", "24GB")
+DUCK_TMP = os.environ.get("GRAFT_DUCK_TMP", "/tmp/duck_spill")
+os.makedirs(DUCK_TMP, exist_ok=True)
 
 TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]
@@ -19,6 +28,8 @@ for name, sql in sorted(oracle.items()):
     if only and name not in only:
         continue
     con = duckdb.connect()
+    con.execute(f"SET memory_limit='{DUCK_MEM}'")
+    con.execute(f"SET temp_directory='{DUCK_TMP}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     try:
