@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Out-of-gate DuckDB check for q111_embedding_clusters at sf>=10.
+
+The registry oracle labels components with a recursive reachability CTE:
+every node accumulates every reachable node as a row, so a percolated
+component of ~200k vectors (the research-threshold regime this corpus pins)
+implies ~4e10 intermediate rows — infeasible in ANY engine; at sf10 DuckDB
+exhausted 90 GB RAM + the disk. Reachability-min and min-label-propagation
+have the SAME unique fixpoint (both define "smallest vec_id in my connected
+component"), so this check computes the labels by iterated min-propagation
+with pointer jumping — linear memory per round, O(log n) rounds — from the
+same raw inputs: embeddings + the literal Rademacher planes extracted
+verbatim from the stored q110 oracle SQL, candidate pairs via the
+first-colliding-band rule (validated exact vs the DISTINCT formulation at
+the gate SFs and at sf10 by tools/check_lsh_scaled.py).
+
+Usage: check_clusters_scaled.py <sfDir> <dumpDir>
+Reads <dumpDir>/oracle_sql.json (plane literals, from the q110 entry) and
+<dumpDir>/q111_embedding_clusters/*.parquet; prints PASS/FAIL.
+"""
+import json
+import os
+import sys
+
+import duckdb
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
+dump = sys.argv[2] if len(sys.argv) > 2 else "/tmp/v10wide"
+NAME = "q111_embedding_clusters"
+THRESH = 0.35
+BANDS = 8
+
+sql = json.load(open(f"{dump}/oracle_sql.json"))["q110_ann_lsh_scaled"]
+pre, rest = sql.split(",\nbanded AS", 1)
+marker = "AS band_idx,\n         unnest("
+start = rest.index(marker) + len(marker)
+end = rest.index(") AS bucket")
+band_list = rest[start:end]
+
+first_band_only = "\n    ".join(
+    f"AND NOT (x.band_idx >= {j + 1} AND x.codes[{j + 1}] = y.codes[{j + 1}])"
+    for j in range(BANDS - 1))
+
+con = duckdb.connect()
+con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCK_MEM', '48GB')}'")
+tmp = os.environ.get("GRAFT_DUCK_TMP", "/tmp/duck_spill")
+os.makedirs(tmp, exist_ok=True)
+con.execute(f"SET temp_directory='{tmp}'")
+con.execute(
+    "CREATE VIEW embeddings AS "
+    f"SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')")
+
+con.execute(f"""CREATE TEMP TABLE pair_edges AS
+{pre},
+codes AS (SELECT vec_id, emb, nrm, {band_list} AS codes FROM e),
+banded AS (SELECT vec_id, emb, nrm, codes, unnest(range({BANDS})) AS band_idx FROM codes),
+keyed AS (SELECT *, codes[band_idx + 1] AS bucket FROM banded),
+pairs AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+    list_dot_product(x.emb, y.emb) / (x.nrm * y.nrm) AS cosine
+  FROM keyed x JOIN keyed y
+    ON x.band_idx = y.band_idx AND x.bucket = y.bucket
+   AND x.vec_id < y.vec_id
+  WHERE TRUE
+    {first_band_only})
+SELECT vec_a, vec_b FROM pairs WHERE cosine >= {THRESH}""")
+n_pairs = con.execute("SELECT COUNT(*) FROM pair_edges").fetchone()[0]
+
+con.execute("""CREATE TEMP TABLE edges AS
+  SELECT vec_a AS src, vec_b AS dst FROM pair_edges
+  UNION SELECT vec_b, vec_a FROM pair_edges""")
+con.execute("""CREATE TEMP TABLE labels AS
+  SELECT DISTINCT src AS v, src AS rep FROM edges""")
+
+rounds = 0
+while True:
+    rounds += 1
+    con.execute("""CREATE TEMP TABLE next_labels AS
+      SELECT v, MIN(rep) AS rep FROM (
+        SELECT v, rep FROM labels
+        UNION ALL
+        SELECT e.src AS v, l.rep FROM edges e JOIN labels l ON e.dst = l.v
+        UNION ALL
+        SELECT l1.v, l2.rep FROM labels l1 JOIN labels l2 ON l1.rep = l2.v
+      ) GROUP BY v""")
+    changed = con.execute("""SELECT COUNT(*) FROM next_labels n
+      JOIN labels o ON n.v = o.v WHERE n.rep < o.rep""").fetchone()[0]
+    con.execute("DROP TABLE labels")
+    con.execute("ALTER TABLE next_labels RENAME TO labels")
+    if changed == 0:
+        break
+    if rounds > 64:
+        print(f"FAIL {NAME}: label propagation did not converge in 64 rounds")
+        sys.exit(1)
+
+duck_rows, spark_rows, diff_rows = con.execute(f"""
+WITH duck AS (
+  SELECT v AS vec_id, rep AS cluster_rep,
+    CAST(COUNT(*) OVER (PARTITION BY rep) AS BIGINT) AS cluster_size
+  FROM labels),
+spark AS (SELECT vec_id, cluster_rep, cluster_size
+          FROM read_parquet('{dump}/{NAME}/*.parquet')),
+diff AS (
+  (SELECT * FROM duck EXCEPT ALL SELECT * FROM spark)
+  UNION ALL
+  (SELECT * FROM spark EXCEPT ALL SELECT * FROM duck))
+SELECT (SELECT COUNT(*) FROM duck), (SELECT COUNT(*) FROM spark),
+       (SELECT COUNT(*) FROM diff)""").fetchone()
+if diff_rows == 0 and duck_rows == spark_rows:
+    print(f"PASS {NAME} (label-prop check: {spark_rows} rows exact, "
+          f"{n_pairs} edges, {rounds} rounds)")
+    sys.exit(0)
+print(f"FAIL {NAME}: duck={duck_rows} spark={spark_rows} diff={diff_rows}")
+sys.exit(1)
