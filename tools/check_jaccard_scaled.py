@@ -1,0 +1,134 @@
+#!/usr/bin/env python3
+"""Out-of-gate DuckDB check for q48_dedup_clusters + q60_dedup_survivors
+at sf>=10.
+
+Their shared edge relation is the EXACT all-pairs 3-gram Jaccard >= 0.5
+ground truth (declared-anchor q31's stream): at sf10 that is 1.218 BILLION
+joined rows into one hash aggregation keyed by (doc_a, doc_b) — DuckDB
+died on it at every memory/spill budget this box can offer (24GB, 90GB +
+56GB disk, 100GB: "Failed to allocate block"). Spark's jaccardPairs runs
+the identical aggregation DISTRIBUTED, which is the point of the engine.
+
+This check makes the oracle side exact-but-bounded the same way a cluster
+would: partition the OUTPUT KEY SPACE. The join+aggregate runs K times,
+each pass keeping only joined rows whose pair lands in hash chunk k — the
+same 1.218B rows stream K times (CPU, not memory), each pass holds 1/K of
+the aggregation state, and the union over chunks is exactly the full
+GROUP BY (partitioned aggregation). Everything downstream reuses the
+pieces validated elsewhere: min-label propagation with pointer jumping for
+components (same unique fixpoint as the oracle's reachability CTE —
+tools/check_clusters_scaled.py, validated at sf1) and the q60 quality/
+survivor SQL taken VERBATIM from the stored oracle, so the survivor rule
+itself is not restated.
+
+Usage: check_jaccard_scaled.py <sfDir> <dumpDir> [chunks=10]
+Reads <dumpDir>/oracle_sql.json for the verbatim CTE text and
+<dumpDir>/{q48_dedup_clusters,q60_dedup_survivors}/*.parquet.
+"""
+import json
+import os
+import sys
+
+import duckdb
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
+dump = sys.argv[2] if len(sys.argv) > 2 else "/tmp/v10wide"
+K = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+oracle = json.load(open(f"{dump}/oracle_sql.json"))
+q48 = oracle["q48_dedup_clusters"]
+q60 = oracle["q60_dedup_survivors"]
+
+# Verbatim shingle CTEs (toks/sh/ex/rare/exr) from the stored q48 oracle;
+# everything from pairs_all onward is replaced by the chunked aggregation.
+prefix = q48.split(",\npairs_all AS", 1)[0]
+prefix = prefix.replace("WITH RECURSIVE ", "", 1)
+# Verbatim q60 tail from `qual AS` onward — references `labeled`, which we
+# provide as a temp table below.
+q60_tail = "WITH " + q60[q60.index("qual AS ("):]
+
+con = duckdb.connect()
+con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCK_MEM', '48GB')}'")
+tmp = os.environ.get("GRAFT_DUCK_TMP", "/tmp/duck_spill")
+os.makedirs(tmp, exist_ok=True)
+con.execute(f"SET temp_directory='{tmp}'")
+con.execute(
+    "CREATE VIEW documents AS "
+    f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')")
+
+con.execute(f"CREATE TEMP TABLE exr AS WITH {prefix} SELECT * FROM exr")
+n_exr = con.execute("SELECT COUNT(*) FROM exr").fetchone()[0]
+
+con.execute("""CREATE TEMP TABLE pair_edges
+  (doc_a BIGINT, doc_b BIGINT)""")
+for k in range(K):
+    con.execute(f"""INSERT INTO pair_edges
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na,
+               b.n_sh AS nb, COUNT(*) AS common
+        FROM exr a JOIN exr b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        WHERE hash(a.doc_id, b.doc_id) % {K} = {k}
+        GROUP BY 1, 2, 3, 4)
+      WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5""")
+    print(f"  chunk {k + 1}/{K}: edges so far "
+          f"{con.execute('SELECT COUNT(*) FROM pair_edges').fetchone()[0]}",
+          flush=True)
+
+con.execute("""CREATE TEMP TABLE edges AS
+  SELECT doc_a AS src, doc_b AS dst FROM pair_edges
+  UNION SELECT doc_b, doc_a FROM pair_edges""")
+con.execute("""CREATE TEMP TABLE labels AS
+  SELECT DISTINCT src AS v, src AS rep FROM edges""")
+rounds = 0
+while True:
+    rounds += 1
+    con.execute("""CREATE TEMP TABLE next_labels AS
+      SELECT v, MIN(rep) AS rep FROM (
+        SELECT v, rep FROM labels
+        UNION ALL
+        SELECT e.src AS v, l.rep FROM edges e JOIN labels l ON e.dst = l.v
+        UNION ALL
+        SELECT l1.v, l2.rep FROM labels l1 JOIN labels l2 ON l1.rep = l2.v
+      ) GROUP BY v""")
+    changed = con.execute("""SELECT COUNT(*) FROM next_labels n
+      JOIN labels o ON n.v = o.v WHERE n.rep < o.rep""").fetchone()[0]
+    con.execute("DROP TABLE labels")
+    con.execute("ALTER TABLE next_labels RENAME TO labels")
+    if changed == 0:
+        break
+    if rounds > 64:
+        print("FAIL q48_dedup_clusters: label propagation did not converge")
+        sys.exit(1)
+con.execute("""CREATE TEMP TABLE labeled AS
+  SELECT v AS doc_id, rep AS cluster_rep FROM labels""")
+
+fails = 0
+
+
+def compare(name: str, duck_sql: str) -> None:
+    global fails
+    duck_rows, spark_rows, diff_rows = con.execute(f"""
+      WITH duck AS ({duck_sql}),
+      spark AS (SELECT * FROM read_parquet('{dump}/{name}/*.parquet')),
+      diff AS (
+        (SELECT * FROM duck EXCEPT ALL SELECT * FROM spark)
+        UNION ALL
+        (SELECT * FROM spark EXCEPT ALL SELECT * FROM duck))
+      SELECT (SELECT COUNT(*) FROM duck), (SELECT COUNT(*) FROM spark),
+             (SELECT COUNT(*) FROM diff)""").fetchone()
+    if diff_rows == 0 and duck_rows == spark_rows:
+        print(f"PASS {name} (chunked-agg check: {spark_rows} rows exact, "
+              f"{rounds} label rounds, {n_exr} shingle rows)")
+    else:
+        print(f"FAIL {name}: duck={duck_rows} spark={spark_rows} "
+              f"diff={diff_rows}")
+        fails += 1
+
+
+compare("q48_dedup_clusters", """
+  SELECT doc_id, cluster_rep,
+    CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
+  FROM labeled""")
+compare("q60_dedup_survivors", q60_tail)
+sys.exit(1 if fails else 0)
