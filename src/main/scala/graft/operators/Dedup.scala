@@ -319,7 +319,8 @@ object Dedup {
        |  SELECT doc AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY doc)
        |SELECT doc_id, cluster_rep,
        |  CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
-       |FROM labeled""".stripMargin))
+       |FROM labeled""".stripMargin),
+    anchor = true)
 
   /** q30 — exact dedup: md5-hash groupBy, min-doc survivor, cluster size
     * (the A7 distinct dedup generalized to content hashing). */
@@ -361,54 +362,100 @@ object Dedup {
     * (paid once in the shared relation) instead of one per (seed, shingle).
     * a_i·xm < 2^62 keeps every product inside signed-64 range in both
     * engines. Band keys are the ':'-joined decimal row signatures. */
-  val q32MinHashLsh: Q = Q(
-    "q32_dedup_minhash_lsh",
-    (s, dir) => {
-      val numHashes = 16
-      val bandsN = 4
-      val rows = numHashes / bandsN
+  private val LshNumHashes = 16
+  private val LshBandsN = 4
+
+  /** The MinHash-LSH oracle chain (signatures → banding → candidates →
+    * exact Jaccard on candidates), mirrored verbatim by q32 and q113 —
+    * assumes `shingleOracleCte` precedes it; ends at `verified` without a
+    * trailing comma. */
+  private[operators] def lshOracleCte: String = {
+    val mhDefs = (0 until LshNumHashes)
+      .map(i => s"    min(((x60 % ${MinHashP}) * ${minHashA(i)} + ${minHashB(i)}) % ${MinHashP}) AS mh$i")
+      .mkString(",\n")
+    val bandDefs = (0 until LshBandsN)
+      .map(b => (0 until LshNumHashes / LshBandsN).map(r => s"CAST(mh${b * 4 + r} AS VARCHAR)")
+        .mkString(" || ':' || "))
+      .mkString("[", ", ", "]")
+    s"""sig AS (
+       |  SELECT doc_id,
+       |$mhDefs
+       |  FROM exm GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id,
+       |    unnest([0, 1, 2, 3]) AS band_idx,
+       |    unnest($bandDefs) AS band_hash
+       |  FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id),
+       |nsh AS (SELECT DISTINCT doc_id, n_sh FROM exm),
+       |common AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+       |  FROM cand c
+       |  JOIN exm a ON a.doc_id = c.doc_a
+       |  JOIN exm b ON b.doc_id = c.doc_b AND b.x60 = a.x60
+       |  GROUP BY 1, 2),
+       |verified AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) AS jaccard
+       |  FROM common
+       |  JOIN nsh na ON na.doc_id = common.doc_a
+       |  JOIN nsh nb ON nb.doc_id = common.doc_b)""".stripMargin
+  }
+
+  /** Memoized MinHash signatures (16 hashes over the portable 60-bit
+    * shingle identity) — the sketch behind q32's reporting pair set AND
+    * q113's production survivorship chain; referenced from several join
+    * sides, so one materialization per (session, dir). */
+  private def minhashSig(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "minhashSig") {
+      val xm = col("x60") % MinHashP
+      shingled(s, dir).groupBy(col("doc_id")).agg(
+        min((xm * minHashA(0) + minHashB(0)) % MinHashP).as("mh0"),
+        (1 until LshNumHashes).map(i =>
+          min((xm * minHashA(i) + minHashB(i)) % MinHashP).as(s"mh$i")): _*)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** LSH candidate pairs: 4 bands × 4 rows; docs sharing any band hash
+    * become candidates via a (band_idx, band_hash) equi-join — bucketed,
+    * never all-pairs. */
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val rows = LshNumHashes / LshBandsN
+    val sig = minhashSig(s, dir)
+    val bandCols = (0 until LshBandsN).map { b =>
+      concat_ws(":", (0 until rows).map(r => col(s"mh${b * rows + r}").cast("string")): _*)
+        .as(s"band$b")
+    }
+    val banded = sig.select((col("doc_id") +: bandCols): _*)
+    val exploded = banded.select(col("doc_id"),
+      posexplode(array((0 until LshBandsN).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band_hash")))
+    val ca = exploded.toDF("doc_a", "band_idx", "band_hash")
+    val cb = exploded.toDF("doc_b", "band_idx_b", "band_hash_b")
+    ca.join(cb,
+        col("band_idx") === col("band_idx_b") &&
+        col("band_hash") === col("band_hash_b") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** EXACT Jaccard computed ON THE CANDIDATE SET ONLY: each LSH candidate
+    * pair joined back to the shingle relation on both doc ids, shared
+    * shingles counted via the narrow long identity `h`. The candidate set
+    * ≪ all pairs, so the join is (small candidates) ⋈ (linear shingle
+    * relation) — broadcastable at test scale, a keyed shuffle at 100 TB;
+    * no stage anywhere in this chain enumerates all pairs. Memoized +
+    * persisted: q32 (reporting) and q113 (survivorship) both consume it. */
+  private def lshVerified(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "lshVerified") {
       val ex = shingled(s, dir)
-      val sig = memo(s, dir, "minhashSig") {
-        val xm = col("x60") % MinHashP
-        ex.groupBy(col("doc_id")).agg(
-          min((xm * minHashA(0) + minHashB(0)) % MinHashP).as("mh0"),
-          (1 until numHashes).map(i =>
-            min((xm * minHashA(i) + minHashB(i)) % MinHashP).as(s"mh$i")): _*)
-          .persist(StorageLevel.MEMORY_AND_DISK) // referenced from three join sides
-      }
-      val bandCols = (0 until bandsN).map { b =>
-        concat_ws(":", (0 until rows).map(r => col(s"mh${b * rows + r}").cast("string")): _*)
-          .as(s"band$b")
-      }
-      val banded = sig.select((col("doc_id") +: bandCols): _*)
-      val exploded = banded.select(col("doc_id"),
-        posexplode(array((0 until bandsN).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band_hash")))
-      val ca = exploded.toDF("doc_a", "band_idx", "band_hash")
-      val cb = exploded.toDF("doc_b", "band_idx_b", "band_hash_b")
-      val candidates = ca.join(cb,
-          col("band_idx") === col("band_idx_b") &&
-          col("band_hash") === col("band_hash_b") &&
-          col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-      // est_jaccard from the full signatures
-      val sa = sig.toDF(("doc_a" +: (0 until numHashes).map(i => s"a$i")): _*)
-      val sb = sig.toDF(("doc_b" +: (0 until numHashes).map(i => s"b$i")): _*)
-      val est = candidates.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("est_jaccard",
-          (0 until numHashes).map(i =>
-            when(col(s"a$i") === col(s"b$i"), 1.0).otherwise(0.0))
-            .reduce(_ + _) / numHashes)
-        .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
-      // exact verify on candidates only: join each candidate pair back to the
-      // shingle relation on both doc ids, count shared shingles (via the
-      // narrow long identity `h` — the cached scan prunes `m` away). The
-      // candidate set ≪ all pairs, so the join is (small candidates) ⋈
-      // (linear shingle relation) — broadcastable at test scale, a keyed
-      // shuffle at 100 TB.
       val nsh = shingleCounts(s, dir)
       val ea = ex.select(col("doc_id").as("doc_a"), col("h"))
       val eb = ex.select(col("doc_id").as("doc_b"), col("h"))
-      val verified = candidates
+      lshCandidates(s, dir)
         .join(ea, Seq("doc_a"))
         .join(eb, Seq("doc_b", "h"))
         .groupBy(col("doc_a"), col("doc_b"))
@@ -418,55 +465,38 @@ object Dedup {
         .withColumn("jaccard",
           col("common").cast("double") / (col("na") + col("nb") - col("common")))
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      est.join(verified, Seq("doc_a", "doc_b"), "left")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+  val q32MinHashLsh: Q = Q(
+    "q32_dedup_minhash_lsh",
+    (s, dir) => {
+      val sig = minhashSig(s, dir)
+      val candidates = lshCandidates(s, dir)
+      // est_jaccard from the full signatures
+      val sa = sig.toDF(("doc_a" +: (0 until LshNumHashes).map(i => s"a$i")): _*)
+      val sb = sig.toDF(("doc_b" +: (0 until LshNumHashes).map(i => s"b$i")): _*)
+      val est = candidates.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("est_jaccard",
+          (0 until LshNumHashes).map(i =>
+            when(col(s"a$i") === col(s"b$i"), 1.0).otherwise(0.0))
+            .reduce(_ + _) / LshNumHashes)
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      est.join(lshVerified(s, dir), Seq("doc_a", "doc_b"), "left")
         .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
           coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
     },
     Some {
-      val numHashes = 16
-      val mhDefs = (0 until numHashes)
-        .map(i => s"    min(((x60 % ${MinHashP}) * ${minHashA(i)} + ${minHashB(i)}) % ${MinHashP}) AS mh$i")
-        .mkString(",\n")
-      val bandDefs = (0 until 4)
-        .map(b => (0 until 4).map(r => s"CAST(mh${b * 4 + r} AS VARCHAR)")
-          .mkString(" || ':' || "))
-        .mkString("[", ", ", "]")
-      val estSum = (0 until numHashes)
+      val estSum = (0 until LshNumHashes)
         .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1.0 ELSE 0.0 END")
         .mkString(" + ")
       s"""WITH $shingleOracleCte,
-         |sig AS (
-         |  SELECT doc_id,
-         |$mhDefs
-         |  FROM exm GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id,
-         |    unnest([0, 1, 2, 3]) AS band_idx,
-         |    unnest($bandDefs) AS band_hash
-         |  FROM sig),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-         |   AND a.doc_id < b.doc_id),
+         |$lshOracleCte,
          |est AS (
-         |  SELECT doc_a, doc_b, ($estSum) / $numHashes AS est_jaccard
+         |  SELECT doc_a, doc_b, ($estSum) / $LshNumHashes AS est_jaccard
          |  FROM cand
          |  JOIN sig sa ON sa.doc_id = cand.doc_a
-         |  JOIN sig sb ON sb.doc_id = cand.doc_b),
-         |nsh AS (SELECT DISTINCT doc_id, n_sh FROM exm),
-         |common AS (
-         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS common
-         |  FROM cand c
-         |  JOIN exm a ON a.doc_id = c.doc_a
-         |  JOIN exm b ON b.doc_id = c.doc_b AND b.x60 = a.x60
-         |  GROUP BY 1, 2),
-         |verified AS (
-         |  SELECT doc_a, doc_b,
-         |    CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) AS jaccard
-         |  FROM common
-         |  JOIN nsh na ON na.doc_id = common.doc_a
-         |  JOIN nsh nb ON nb.doc_id = common.doc_b)
+         |  JOIN sig sb ON sb.doc_id = cand.doc_b)
          |SELECT e.doc_a, e.doc_b, e.est_jaccard, COALESCE(v.jaccard, 0.0) AS jaccard
          |FROM est e LEFT JOIN verified v
          |  ON v.doc_a = e.doc_a AND v.doc_b = e.doc_b""".stripMargin
@@ -632,6 +662,22 @@ object Dedup {
       |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.35""".stripMargin),
     anchor = true)
 
+  /** Per-doc quality scores — q24's exact double expression (length /
+    * diversity / stopword blend), shared by the survivorship queries
+    * (q60, q67, q113) so the IEEE evaluation tree is written once.
+    * Stopword counting is the compiled CountInArray sum
+    * (TextAnalysis.stopwordCount) — value-identical to the interpreted
+    * `filter`+`array_contains` HOF it replaced, but stays in codegen. */
+  private def qualityScores(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("w", TextAnalysis.words(col("text")))
+      .withColumn("word_count", size(col("w")).cast("long"))
+      .select(col("doc_id"),
+        (least(col("word_count").cast("double") / lit(100.0), lit(1.0)) * lit(0.3)
+          + size(array_distinct(col("w"))).cast("double") / col("word_count") * lit(0.4)
+          + (lit(1.0) - TextAnalysis.stopwordCount(col("w")).cast("double")
+              / col("word_count")) * lit(0.3)).as("quality_score"))
+
   /** q60 — dedup SURVIVORSHIP: the endpoint a training-data pipeline
     * actually ships — near-dup clusters (q48's label-propagation components
     * over Jaccard ≥ 0.5 pairs, singletons as their own cluster) resolved to
@@ -646,15 +692,7 @@ object Dedup {
     "q60_dedup_survivors",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val stopArr = array(TextAnalysis.stopwords.map(lit): _*)
-      val quality = Tables(s, dir, "documents")
-        .withColumn("w", TextAnalysis.words(col("text")))
-        .withColumn("word_count", size(col("w")).cast("long"))
-        .select(col("doc_id"),
-          (least(col("word_count").cast("double") / lit(100.0), lit(1.0)) * lit(0.3)
-            + size(array_distinct(col("w"))).cast("double") / col("word_count") * lit(0.4)
-            + (lit(1.0) - size(filter(col("w"), x => array_contains(stopArr, x))).cast("double")
-                / col("word_count")) * lit(0.3)).as("quality_score"))
+      val quality = qualityScores(s, dir)
       val labeled = quality.join(clusters05(s, dir), Seq("doc_id"), "left")
         .withColumn("cluster_rep", coalesce(col("cluster_rep"), col("doc_id")))
       val win = Window.partitionBy(col("cluster_rep"))
@@ -668,6 +706,85 @@ object Dedup {
           col("is_survivor"), col("cluster_size"))
     },
     Some(s"""WITH RECURSIVE ${jaccardPairsOracle(0.5)},
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS doc FROM edges),
+       |reach(doc, r) AS (
+       |  SELECT doc, doc FROM nodes
+       |  UNION
+       |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.doc),
+       |labeled AS (
+       |  SELECT doc AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY doc),
+       |qual AS (
+       |  SELECT doc_id,
+       |    least(CAST(word_count AS DOUBLE) / 100.0, 1.0) * 0.3
+       |      + distinct_ratio * 0.4
+       |      + (1.0 - stopword_ratio) * 0.3 AS quality_score
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len(w) AS BIGINT) AS word_count,
+       |      CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS BIGINT) AS distinct_ratio,
+       |      CAST(len(list_filter(w, x -> list_contains(${
+         TextAnalysis.stopwords.mkString("['", "','", "']")}, x))) AS DOUBLE)
+       |        / CAST(len(w) AS BIGINT) AS stopword_ratio
+       |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |          FROM documents) raw) feat),
+       |fullc AS (
+       |  SELECT q.doc_id, COALESCE(l.cluster_rep, q.doc_id) AS cluster_rep,
+       |         q.quality_score
+       |  FROM qual q LEFT JOIN labeled l ON l.doc_id = q.doc_id)
+       |SELECT doc_id, cluster_rep,
+       |  FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_rep
+       |    ORDER BY quality_score DESC, doc_id ASC) AS survivor_doc,
+       |  doc_id = FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_rep
+       |    ORDER BY quality_score DESC, doc_id ASC) AS is_survivor,
+       |  COUNT(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+       |FROM fullc""".stripMargin),
+    anchor = true)
+
+  /** q113 — dedup survivorship, PRODUCTION FORM: the text-side mirror of
+    * the embedding family's q34 (anchor) → q110/q111 (production) split.
+    * Where q60 resolves survivors over the EXACT all-pairs Jaccard edge
+    * set (inherited from anchor q31 — Σ C(df,2) growth, 1.2B joined rows
+    * at sf10), this is the composition a training-data pipeline actually
+    * runs at 100 TB: MinHash-LSH banding generates candidates (bucketed
+    * equi-join, never all-pairs), exact Jaccard verifies THE CANDIDATES
+    * ONLY, Jaccard ≥ 0.5 survivors-of-verification become the edge set,
+    * min-label connected components cluster, and q60's quality window
+    * picks one survivor per cluster (ties pinned to lowest doc_id). Every
+    * stage is the already-proven scale shape; the only difference from
+    * q60 is recall — pairs the 4×4 banding misses (P[candidate] =
+    * 1−(1−j⁴)⁴) stay unclustered, which is the accepted trade the sketch
+    * exists to make. The oracle chains q32's banding/verification CTEs
+    * into q48's min-reachability components and q60's survivor SQL, so
+    * the full composition is hash-checked end to end. */
+  val q113DedupSurvivorsLsh: Q = Q(
+    "q113_dedup_survivors_lsh",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val edges = lshVerified(s, dir).filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val labels = memo(s, dir, "lshClusters05") {
+        connectedComponents(edges).persist(StorageLevel.MEMORY_AND_DISK)
+      }
+      val labeled = qualityScores(s, dir).join(labels, Seq("doc_id"), "left")
+        .withColumn("cluster_rep", coalesce(col("cluster_rep"), col("doc_id")))
+      val win = Window.partitionBy(col("cluster_rep"))
+        .orderBy(col("quality_score").desc, col("doc_id").asc)
+      labeled
+        .withColumn("survivor_doc", first(col("doc_id")).over(win))
+        .withColumn("is_survivor", col("doc_id") === col("survivor_doc"))
+        .withColumn("cluster_size", count(lit(1)).over(
+          Window.partitionBy(col("cluster_rep"))))
+        .select(col("doc_id"), col("cluster_rep"), col("survivor_doc"),
+          col("is_survivor"), col("cluster_size"))
+    },
+    Some(s"""WITH RECURSIVE $shingleOracleCte,
+       |$lshOracleCte,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION
@@ -777,16 +894,8 @@ object Dedup {
         .groupBy(col("doc_id"))
         .agg(min(struct(negate(col("matches")).as("neg"), col("cand_lang").as("lang"))).as("top"))
         .select(col("doc_id"), col("top.lang").as("pred_lang"))
-      // quality score (q24's exact double expression)
-      val stopArr = array(TextAnalysis.stopwords.map(lit): _*)
-      val qual = docs
-        .withColumn("w", TextAnalysis.words(col("text")))
-        .withColumn("word_count", size(col("w")).cast("long"))
-        .select(col("doc_id"),
-          (least(col("word_count").cast("double") / lit(100.0), lit(1.0)) * lit(0.3)
-            + (size(array_distinct(col("w"))).cast("double") / col("word_count")) * lit(0.4)
-            + (lit(1.0) - size(filter(col("w"), x => array_contains(stopArr, x))).cast("double")
-                / col("word_count")) * lit(0.3)).as("quality_score"))
+      // quality score (q24's exact double expression, shared helper)
+      val qual = qualityScores(s, dir)
       // exact-dedup keeper (q23's normalized fingerprint, min doc_id wins);
       // window-min over the fp partition: ONE shuffle, no corpus-sized
       // broadcast — the keeper relation is as big as the corpus at scale
@@ -951,5 +1060,6 @@ object Dedup {
 
   val all: Seq[Q] = Seq(q30ExactDedup, q31NgramJaccard, q32MinHashLsh, q33SimHash,
     q34EmbeddingDups, q48DedupClusters, q60DedupSurvivors, q61Contamination,
-    q67CurationPipeline, q79SimHashScale, q86SpanDupes, q92CrossSourceDups)
+    q67CurationPipeline, q79SimHashScale, q86SpanDupes, q92CrossSourceDups,
+    q113DedupSurvivorsLsh)
 }

@@ -34,15 +34,13 @@ object Learn {
   val q99PerceptronStep: Q = Q(
     "q99_perceptron_step",
     (s, dir) => {
-      val stopArr = array(TextAnalysis.stopwords.map(lit): _*)
       val feats = Tables(s, dir, "documents")
         .withColumn("w", TextAnalysis.words(col("text")))
         .select(
           when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
           size(col("w")).cast("long").as("wc"),
           length(col("text")).cast("long").as("cl"),
-          size(filter(col("w"), x => array_contains(stopArr, x)))
-            .cast("long").as("sc"))
+          TextAnalysis.stopwordCount(col("w")).as("sc"))
         .withColumn("m",
           lit(W(0)._2) + lit(W(1)._2) * col("wc") +
           lit(W(2)._2) * col("cl") + lit(W(3)._2) * col("sc"))
@@ -313,15 +311,13 @@ object Learn {
     * reusable across epochs — compute once, cache, iterate). */
   def features(spark: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
-    val stopArr = array(TextAnalysis.stopwords.map(lit): _*)
     Tables(spark, dir, "documents")
       .withColumn("w", TextAnalysis.words(col("text")))
       .select(
         when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
         size(col("w")).cast("long").as("wc"),
         length(col("text")).cast("long").as("cl"),
-        size(filter(col("w"), x => array_contains(stopArr, x)))
-          .cast("long").as("sc"))
+        TextAnalysis.stopwordCount(col("w")).as("sc"))
   }
 
   /** One epoch at micro-unit weights (scale 10⁻⁶): returns (n_mis, grads).

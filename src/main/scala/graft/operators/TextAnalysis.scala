@@ -30,6 +30,16 @@ object TextAnalysis {
     Bridge.column(graft.expressions.CountInArray(
       Bridge.expression(wordsCol), Bridge.expression(lit(term))))
 
+  /** Stopword occurrence count over a words array — value-identical to
+    * `size(filter(w, x => array_contains(stopArr, x)))` (each word matches
+    * at most one stopword, so the per-term counts sum to the filter size;
+    * integer sum, cast only at the consumer), but four compiled
+    * CountInArray loops instead of an interpreted HOF that evicts its
+    * stage from whole-stage codegen (perf-lessons rule 1 — the last two
+    * registry HOF sites, q24/q60/q67, converted round 13). */
+  def stopwordCount(wordsCol: Column): Column =
+    stopwords.map(t => countTerm(wordsCol, t)).reduce(_ + _)
+
   /** Word n-gram shingles (n=3) from a words-array column — the
     * MinHash/Jaccard feature set. REQUIRES size(wordsCol) >= 3: callers must
     * filter first (under ANSI mode element_at would throw out-of-bounds and
@@ -167,14 +177,13 @@ object TextAnalysis {
   val q24Quality: Q = Q(
     "q24_quality_score",
     (s, dir) => {
-      val stopArr = array(stopwords.map(lit): _*)
       Tables(s, dir, "documents")
         .withColumn("w", words(col("text")))
         .withColumn("word_count", size(col("w")).cast("long"))
         .withColumn("distinct_ratio",
           size(array_distinct(col("w"))).cast("double") / col("word_count"))
         .withColumn("stopword_ratio",
-          size(filter(col("w"), x => array_contains(stopArr, x))).cast("double") / col("word_count"))
+          stopwordCount(col("w")).cast("double") / col("word_count"))
         .select(
           col("doc_id"), col("word_count"), col("distinct_ratio"), col("stopword_ratio"),
           (least(col("word_count").cast("double") / lit(100.0), lit(1.0)) * lit(0.3)
