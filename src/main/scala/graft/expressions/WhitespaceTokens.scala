@@ -26,7 +26,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * separator run → ONE trailing "" token). Pinned by WhitespaceTokensSpec
   * and a ScalaCheck property against the built-in on adversarial
   * whitespace/Unicode mixes. Default (binary) collation only — which is
-  * the only collation this engine runs. */
+  * the only collation this engine runs.
+  *
+  * CROSS-ENGINE CAVEAT (not a Spark-side divergence): the DuckDB oracles
+  * tokenize with RE2's `\s`, which EXCLUDES vertical tab 0x0B, while
+  * Java's `\s` (and this scan) includes it; and on invalid UTF-8 Java
+  * replaces bad sequences with U+FFFD before matching while this byte
+  * scan passes the raw bytes through. Both asymmetries predate this
+  * expression (the built-in split has them identically) and are inert on
+  * the corpus: the generator emits only {0x09,0x0A,0x20} whitespace and
+  * valid UTF-8, and WhitespaceTokensSpec pins a corpus invariant probe
+  * (no 0x0B / no invalid UTF-8 in documents.text) so a corpus change
+  * that re-arms the divergence fails CI rather than drifting silently. */
 case class WhitespaceTokens(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =

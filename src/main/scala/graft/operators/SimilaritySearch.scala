@@ -438,10 +438,19 @@ object SimilaritySearch {
     * own persistence; the registry entry memoizes its pinned point. */
   def embeddingClusters(spark: SparkSession, dir: String, bands: Int,
       bitsPerBand: Int, threshold: Double): DataFrame =
+    withClusterSizes(clusterLabels(spark, dir, bands, bitsPerBand, threshold))
+
+  /** lshPairs edges → min-label component labels (doc_id, cluster_rep) —
+    * the single body both the probe form and the memoized registry entry
+    * compose, so the two can't drift. */
+  private def clusterLabels(spark: SparkSession, dir: String, bands: Int,
+      bitsPerBand: Int, threshold: Double): DataFrame =
     Dedup.connectedComponents(
       lshPairs(spark, dir, bands, bitsPerBand, threshold)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
-      .select(col("doc_id").as("vec_id"), col("cluster_rep"))
+
+  private def withClusterSizes(labels: DataFrame): DataFrame =
+    labels.select(col("doc_id").as("vec_id"), col("cluster_rep"))
       .withColumn("cluster_size", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_rep"))))
 
@@ -452,15 +461,10 @@ object SimilaritySearch {
       // count() actions per superstep, so repeated in-session invocations
       // must reuse one materialization (released with Dedup.releaseCaches)
       val labels = Dedup.memo(s, dir, "embClusters035") {
-        val edges = lshPairs(s, dir, bands = 8, bitsPerBand = 8, threshold = 0.35)
-          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-        Dedup.connectedComponents(edges)
+        clusterLabels(s, dir, bands = 8, bitsPerBand = 8, threshold = 0.35)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
-      labels
-        .select(col("doc_id").as("vec_id"), col("cluster_rep"))
-        .withColumn("cluster_size", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_rep"))))
+      withClusterSizes(labels)
     },
     Some(s"""WITH RECURSIVE ${lshPairsOracleCte(0.35)},
        |edges AS (

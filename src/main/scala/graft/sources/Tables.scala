@@ -80,11 +80,25 @@ object Tables {
   private def fullStats: Boolean =
     sys.env.get("GRAFT_CATALOG_STATS").contains("full")
 
+  /** Stats are computed ONCE per (session, dir, table) at first
+    * registration — the catalog-deployment contract, where ANALYZE runs
+    * on ingest, not per query. If the parquet at the location is
+    * rewritten IN PLACE mid-session, rowCount/column stats go silently
+    * stale: results are unaffected (stats feed only the optimizer) but
+    * blooms/estimates are mis-sized until `ANALYZE` reruns or the session
+    * restarts. The engine's own writers never rewrite a read-registered
+    * location in place (staged-swap writes go to fresh paths), so this is
+    * only reachable by out-of-band rewrites. The tableExists→CREATE
+    * sequence is racy under concurrent first reads of one table, but
+    * CREATE IF NOT EXISTS makes the loser a no-op. */
   private def analyzedTable(spark: SparkSession, dir: String, name: String): DataFrame = {
     val tbl = s"graft_${name}_${Integer.toHexString(s"$dir/$name".hashCode)}"
     if (!spark.catalog.tableExists(tbl)) {
+      // Escape single quotes so a hostile/unusual dir can't break out of
+      // the LOCATION string literal.
+      val loc = s"$dir/$name.parquet".replace("'", "''")
       spark.sql(s"CREATE TABLE IF NOT EXISTS $tbl USING parquet " +
-        s"LOCATION '$dir/$name.parquet'")
+        s"LOCATION '$loc'")
       // ANALYZE FOR COLUMNS rejects nested types (ARRAY/STRUCT/MAP).
       // TIMESTAMP_NTZ columns are deliberately excluded too: Spark 4.1's
       // FilterEstimation.evaluateBinary has no TimestampNTZType case, so a

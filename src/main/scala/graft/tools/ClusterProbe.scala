@@ -23,11 +23,14 @@ object ClusterProbe {
     val t0 = System.nanoTime()
     val out = graft.operators.SimilaritySearch
       .embeddingClusters(spark, dir, bands, bits, thr)
+    // coalesce: with zero components (plausible at the production 0.6–0.9
+    // thresholds this tool exists to probe), sum/max are NULL — report 0s
+    // instead of NPE-ing on getLong.
+    import org.apache.spark.sql.functions.{coalesce, count, lit, max, sum}
     val stats = out.groupBy("cluster_rep").count()
-      .agg(org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("components"),
-        org.apache.spark.sql.functions.sum("count").as("clustered"),
-        org.apache.spark.sql.functions.max("count").as("largest"))
+      .agg(count(lit(1)).as("components"),
+        coalesce(sum("count"), lit(0L)).as("clustered"),
+        coalesce(max("count"), lit(0L)).as("largest"))
       .first()
     println(f"[clusterprobe] bands=$bands bits=$bits thr=$thr " +
       f"clustered=${stats.getLong(1)} components=${stats.getLong(0)} " +

@@ -89,6 +89,33 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.count(!_._4) > 0, "at least one duplicate is dropped")
   }
 
+  test("production survivorship (q113) is sound vs q60 and keeps the window contract") {
+    val prod = Dedup.q113DedupSurvivorsLsh.run(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val truth = Dedup.q60DedupSurvivors.run(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val docs = graft.sources.Tables(spark, TestSpark.sf0001, "documents").count()
+    assert(prod.length == docs, "one output row per document")
+    prod.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.count(_._4) == 1, s"cluster $rep: exactly one survivor")
+      assert(members.exists(m => m._1 == members.head._3),
+        s"cluster $rep: survivor is a member")
+    }
+    // SOUNDNESS: q113's edges are the LSH-candidate subset of q60's exact
+    // edge set at the same threshold, so any two docs q113 clusters
+    // together must share a q60 cluster (sketch recall ≤ 1, precision = 1
+    // after exact verification on candidates).
+    prod.groupBy(_._2).filter(_._2.length > 1).foreach { case (rep, members) =>
+      val trueReps = members.map(m => truth(m._1)).distinct
+      assert(trueReps.length == 1,
+        s"q113 cluster $rep spans ground-truth clusters $trueReps")
+    }
+    // 4x4 banding at J>=0.5: P[candidate] = 1-(1-j^4)^4 >= 0.23, and the
+    // seeded near-dups sit well above 0.5 — the production form must
+    // actually deduplicate on this corpus, not trivially pass empty.
+    assert(prod.count(!_._4) > 0, "at least one duplicate is dropped")
+  }
+
   test("contamination detection flags a benchmark doc's near-copy, not unrelated docs") {
     val rows = Dedup.q61Contamination.run(spark, TestSpark.sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -51,6 +51,22 @@ class WhitespaceTokensSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus invariant: documents carry no 0x0B and no invalid UTF-8") {
+    // Guards the two latent cross-engine asymmetries noted in the
+    // expression scaladoc: RE2's \s excludes vertical tab (Java's
+    // includes it), and the engines handle malformed UTF-8 differently.
+    // Both are inert iff the corpus contains neither; if the generator
+    // ever changes, this fails loudly instead of the oracles drifting.
+    val bad = graft.sources.Tables(spark, TestSpark.sf001, "documents")
+      .select(col("text"))
+      .filter(col("text").contains("\u000b") ||
+        // decode(encode(s)) != s exactly when the UTF-8 is invalid
+        // (decode replaces bad sequences with U+FFFD)
+        decode(encode(col("text"), "UTF-8"), "UTF-8") =!= col("text"))
+      .count()
+    assert(bad == 0L, s"$bad documents re-arm the \\x0B / invalid-UTF-8 divergence")
+  }
+
   test("NULL in, NULL out; codegen projection stays fused") {
     val df = Seq(Some("x y"), None).toDF("s")
       .select(WhitespaceTokens.of(col("s")).as("w"))
