@@ -321,8 +321,12 @@ object Events {
     * events-schema files (spec fixture path) — same `conversionJoin`
     * definition as q93/q94 with watermarks bounding the join state. */
   def streamingConversions(spark: SparkSession, dir: String,
-      joinType: String = "inner"): DataFrame = {
-    def src = spark.readStream.schema(Tables.schemas("events")).parquet(dir)
+      joinType: String = "inner",
+      readerOptions: Map[String, String] = Map.empty): DataFrame = {
+    // readerOptions: file-source admission control (e.g. maxFilesPerTrigger)
+    // for replay harnesses; semantics are unchanged.
+    def src = spark.readStream.options(readerOptions)
+      .schema(Tables.schemas("events")).parquet(dir)
     conversionJoin(
       clickProj(src).withWatermark("c_ts", "1 hour"),
       purchaseProj(src).withWatermark("p_ts", "1 hour"),
