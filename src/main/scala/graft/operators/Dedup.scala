@@ -1033,7 +1033,14 @@ object Dedup {
     * provenance diagnostic that decides which source to drop when dedup
     * keeps one copy. Two broadcast-sized joins (doc→source is corpus-sized:
     * AQE picks shuffle vs broadcast) and one aggregate at domain-pair grain
-    * (≤ |domains|² rows — tiny at any corpus scale). */
+    * (≤ |domains|² rows — tiny at any corpus scale).
+    *
+    * ANCHOR: the edge set is jaccardPairs — the EXACT all-pairs ground
+    * truth (Σ C(df,2) growth; ~12B joined rows at sf100, where a solo
+    * dump run exhausted this box's shuffle disk). Same inheritance and
+    * same tagging rationale as q48/q60; the production composition would
+    * roll the identical matrix over `lshVerified` (q32/q113's bucketed
+    * candidate chain), whose every stage is proven to sf100 elsewhere. */
   val q92CrossSourceDups: Q = Q(
     "q92_crosssource_dups",
     (s, dir) => {
@@ -1056,7 +1063,8 @@ object Dedup {
        |  JOIN documents sa ON sa.doc_id = pairs.doc_a
        |  JOIN documents sb ON sb.doc_id = pairs.doc_b)
        |SELECT src_lo, src_hi, COUNT(*) AS dup_pairs
-       |FROM lab GROUP BY src_lo, src_hi""".stripMargin))
+       |FROM lab GROUP BY src_lo, src_hi""".stripMargin),
+    anchor = true)
 
   val all: Seq[Q] = Seq(q30ExactDedup, q31NgramJaccard, q32MinHashLsh, q33SimHash,
     q34EmbeddingDups, q48DedupClusters, q60DedupSurvivors, q61Contamination,

@@ -29,7 +29,7 @@ import graft.streaming.Events
   * `stateOperators` rows/bytes from StreamingQueryProgress.
   *
   * The verdict line compares `state_rows_max` against total input rows:
-  * with the corpus spanning ~90 days and eviction at watermark − 30 min,
+  * with the corpus spanning ~30 days and eviction at watermark − 30 min,
   * steady-state join state should hold only the trailing ~1-2 h of
   * clicks+purchases (plus the in-flight chunk) — two to three orders of
   * magnitude under O(stream). An unbounded-state regression (e.g. a lost
