@@ -25,7 +25,12 @@ object VerifyOne {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     names.foreach { name =>
-      SparkEntry.queries(name)(spark, sfDir).coalesce(1)
+      // coalesce(16), not (1): every checker globs <name>/*.parquet, so a
+      // single file was never required — and at sf100 a coalesce(1) pulls
+      // a ~100M-row result through ONE write task (q110's dump sat at 1.5
+      // cores for hours in round 12). 16 keeps dumps tidy without
+      // serializing the tail of the job.
+      SparkEntry.queries(name)(spark, sfDir).coalesce(16)
         .write.mode("overwrite").parquet(s"$outDir/$name")
       SparkEntry.oracleSql.get(name).foreach(sql =>
         Files.writeString(Paths.get(s"$outDir/$name.sql"), sql))
