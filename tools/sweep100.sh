@@ -19,17 +19,32 @@ mkdir -p "$OUT"; touch "$LOG"
 
 run() { # run <name> <cmd...>
   local n="$1"; shift
-  if grep -q "^PASS $n\$" "$LOG"; then return; fi
+  # Resume on word boundary, not end anchor: check_*_scaled.py print
+  # "PASS <name> (detail)" so "^PASS $n$" never matched them and the
+  # multi-hour checks re-ran on every resume (round-12 ADVICE).
+  if grep -q "^PASS $n\b" "$LOG"; then return; fi
   echo "[sweep100] $(date +%H:%M:%S) checking $n" >&2
   local res
   res=$("$@" 2>&1 | grep -E "^(PASS|FAIL)" | tail -1 || true)
-  echo "${res:-FAIL $n: check produced no verdict}" | tee -a "$LOG"
+  # Normalize the logged line so the resume grep is format-independent.
+  case "$res" in
+    PASS*) echo "PASS $n" | tee -a "$LOG" ;;
+    FAIL*) echo "FAIL $n: ${res#FAIL*: }" | tee -a "$LOG" ;;
+    *)     echo "FAIL $n: check produced no verdict" | tee -a "$LOG" ;;
+  esac
 }
 
-# cheap/linear first, the heavy shingle-chain and vector checks last
+# cheap/linear first, the heavy shingle-chain and vector checks last.
+# NOT in the list (round-12 reclassifications, see PLANS.md):
+#   q92_crosssource_dups — anchor: its edge set IS the exact all-pairs
+#     jaccardPairs relation (Σ C(df,2) ≈ 12B joined rows at sf100); a solo
+#     dump exhausted this box's shuffle disk. Ground truth by design; the
+#     lshVerified production analog is swept via q32/q113.
+#   q85_semdedup — full-corpus √N̄ Lloyd TRAINING is hours of compute at
+#     2M×32 before the (cid-bucketed, fine) prune starts; production
+#     trains on a sample (see semdedupSampleTrained).
 for q in q84_bm25 q104_bm25_ln q102_bigram_lm q103_dsir_weights \
-         q79_simhash_scale q92_crosssource_dups q85_semdedup \
-         q32_dedup_minhash_lsh q113_dedup_survivors_lsh; do
+         q79_simhash_scale q32_dedup_minhash_lsh q113_dedup_survivors_lsh; do
   run "$q" python3 tools/selfcheck_duck.py "$SF" "$OUT" "$q"
 done
 run q111_embedding_clusters python3 tools/check_clusters_scaled.py "$SF" "$OUT"
