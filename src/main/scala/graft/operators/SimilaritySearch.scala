@@ -871,7 +871,7 @@ object SimilaritySearch {
   /** The prune half of SemDeDup over an assigned (vec_id, cid, emb, nrm)
     * relation: cid-bucketed lower-id pair join → per-vector MAX cosine →
     * prune at `tau`. */
-  private def semdedupPrune(assigned: org.apache.spark.sql.DataFrame,
+  private[graft] def semdedupPrune(assigned: org.apache.spark.sql.DataFrame,
       tau: Double): org.apache.spark.sql.DataFrame = {
     val a = assigned.toDF("vec_a", "cid", "emb_a", "nrm_a")
     val b = assigned.toDF("vec_b", "cid_b", "emb_b", "nrm_b")
@@ -921,6 +921,49 @@ object SimilaritySearch {
     val init = e.orderBy(col("vec_id")).limit(k)
       .select(col("emb")).collect().map(_.getSeq[Double](0).toArray).toSeq
     val (centroids, _) = kmeansIterateOn(e.select(col("emb")), iters, init)
+    if (centroids.length <= literalPathMaxK) assignLiteral(e, centroids)
+    else assignByTable(s, e, centroids)
+  }
+
+  /** SAMPLE-trained SemDeDup — the production training rung (VERDICT r12
+    * item 2). `semdedupTrained` runs Lloyd over the FULL corpus, which made
+    * the sf100 point hours-long before the prune even started (2M×32
+    * vectors against ~1.4k centroids × iters): training cost N·k·d·iters
+    * carries the corpus factor N. Production SemDeDup trains the coarse
+    * codebook on a bounded sample and only ASSIGNS the full corpus — one
+    * map pass — so this rung removes the N factor from training entirely:
+    * sample cost is `sampleCap`·k·d·iters (k = √N̄ still grows with the
+    * corpus, but k is model size, not data size).
+    *
+    * The sample is the q88 carve-out mechanism: the `sampleCap` vectors
+    * with the lowest md5(vec_id) rank — value-derived (never
+    * partition-derived; the round-7 rank lesson), retry-stable, uniform in
+    * expectation, reproducible from the data alone, and computed by a
+    * sort-LIMIT (TakeOrderedAndProject: per-partition top-S heaps, no full
+    * sort). Init = the k lowest-vec_id embeddings OF THE SAMPLE, so when
+    * `sampleCap >= N` the whole rung is bit-identical to
+    * `semdedupTrained` (SimilaritySpec pins this). Assignment and prune
+    * reuse the existing paths unchanged (literal ≤16 / broadcast table,
+    * cid-bucketed pair search). */
+  def semdedupSampleTrained(s: org.apache.spark.sql.SparkSession, dir: String,
+      iters: Int = 3, tau: Double = 0.3,
+      sampleCap: Int = 65536): org.apache.spark.sql.DataFrame =
+    semdedupPrune(sampleTrainedAssignment(s, dir, iters, sampleCap), tau)
+
+  private[graft] def sampleTrainedAssignment(s: org.apache.spark.sql.SparkSession,
+      dir: String, iters: Int = 3, sampleCap: Int = 65536): org.apache.spark.sql.DataFrame = {
+    val e = embWithNorm(s, dir)
+    val n = e.count()
+    val k = math.min(sampleCap.toLong,
+      math.max(2L, math.round(math.sqrt(n.toDouble)))).toInt
+    val sample =
+      if (n <= sampleCap) e
+      else e.orderBy(md5(col("vec_id").cast("string").cast("binary")),
+        col("vec_id")).limit(sampleCap)
+    // bounded collect: k ≤ sampleCap rows × dim doubles — model-grain
+    val init = sample.orderBy(col("vec_id")).limit(k)
+      .select(col("emb")).collect().map(_.getSeq[Double](0).toArray).toSeq
+    val (centroids, _) = kmeansIterateOn(sample.select(col("emb")), iters, init)
     if (centroids.length <= literalPathMaxK) assignLiteral(e, centroids)
     else assignByTable(s, e, centroids)
   }

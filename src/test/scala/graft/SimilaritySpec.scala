@@ -296,6 +296,42 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("sample-trained SemDeDup: full-sample parity and bounded-sample determinism") {
+    import graft.operators.SimilaritySearch
+    // sampleCap >= N: the sample IS the corpus and the init is the same k
+    // lowest-vec_id embeddings, so the rung must be bit-identical to the
+    // full-corpus semdedupTrained — including the double-valued max cosine.
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("cid"), col("pruned"), col("max_cos_lower"))
+      .as[(Long, Long, Boolean, Option[Double])].collect().sortBy(_._1).toSeq
+    val full = rows(SimilaritySearch.semdedupTrained(spark, TestSpark.sf0001, iters = 2))
+    val parity = rows(SimilaritySearch.semdedupSampleTrained(
+      spark, TestSpark.sf0001, iters = 2, sampleCap = 1 << 20))
+    assert(parity == full, "sampleCap >= N must degenerate to the full-corpus rung")
+    // bounded sample (cap < N, the production shape): survivor set is
+    // deterministic across re-runs, nonempty, and the k≈√N model still
+    // spreads assignments (table path: k=45 > literalPathMaxK at sf0.1)
+    def survivors() = SimilaritySearch.semdedupSampleTrained(
+        spark, TestSpark.sf01, iters = 2, sampleCap = 256)
+      .filter(!col("pruned")).select(col("vec_id"))
+      .as[Long].collect().sorted.toSeq
+    val s1 = survivors()
+    val s2 = survivors()
+    assert(s1 == s2, "nondeterministic sample-trained survivor set")
+    assert(s1.nonEmpty)
+    val out = SimilaritySearch.semdedupSampleTrained(
+      spark, TestSpark.sf01, iters = 2, sampleCap = 256).cache()
+    // keep-first invariant holds regardless of where the model trained:
+    // lowest vec_id of every cluster has no lower-id partner → survives
+    val mins = out.groupBy(col("cid")).agg(min(col("vec_id")).as("vmin"))
+    assert(out.join(mins, out("cid") === mins("cid") &&
+      col("vec_id") === col("vmin"))
+      .filter(col("max_cos_lower").isNotNull || col("pruned")).count() == 0)
+    assert(out.select(countDistinct(col("cid"))).as[Long].head() > 16,
+      "sample-trained model collapsed below the literal-path grain")
+    out.unpersist()
+  }
+
   test("literal-column and broadcast-table centroid assignment are bit-identical") {
     // semdedupTrained switches physical shapes at k=64; the answer must not
     // depend on which one ran (same distances in the same operand order,
