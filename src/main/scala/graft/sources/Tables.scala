@@ -66,8 +66,18 @@ object Tables {
     * carries a hash of the path); ANALYZE's COUNT(*) is footer-cheap
     * over parquet. Results are identical to the path scan — the full
     * registry is oracle-swept in this mode (see PLANS.md). */
-  def statsMode: Boolean =
-    sys.env.get("GRAFT_CATALOG_STATS").exists(v => v == "1" || v == "full")
+  /** Test hook: lets a single-JVM spec exercise BOTH catalog-stats
+    * postures (PlanAuditSpec's executed-plan audit) — the env var can't
+    * change after fork. Production mains never set it. The overriding
+    * spec must also set `spark.sql.cbo.planStats.enabled` itself:
+    * SparkPosture only reads the mode at session build time. */
+  @volatile private[graft] var statsModeOverride: Option[String] = None
+
+  def statsMode: Boolean = statsModeOverride match {
+    case Some(v) => v == "1" || v == "full"
+    case None =>
+      sys.env.get("GRAFT_CATALOG_STATS").exists(v => v == "1" || v == "full")
+  }
 
   /** `GRAFT_CATALOG_STATS=full` additionally computes COLUMN statistics
     * (ndv/min/max per column). Table-level rowCount alone dies at the
@@ -77,8 +87,10 @@ object Tables {
     * observed on the q74 date window at sf10. Column stats cost one extra
     * aggregate pass per table at registration; a metastore deployment
     * would maintain them incrementally. */
-  private def fullStats: Boolean =
-    sys.env.get("GRAFT_CATALOG_STATS").contains("full")
+  private def fullStats: Boolean = statsModeOverride match {
+    case Some(v) => v == "full"
+    case None => sys.env.get("GRAFT_CATALOG_STATS").contains("full")
+  }
 
   /** Stats are computed ONCE per (session, dir, table) at first
     * registration — the catalog-deployment contract, where ANALYZE runs

@@ -82,6 +82,59 @@ class PlanAuditSpec extends AnyFunSuite {
       s"data-scale unpartitioned window (single-partition global sort) in: $offenders")
   }
 
+  /** The six queries whose INITIAL plan demotes BroadcastHashJoin →
+    * SortMergeJoin under catalog stats (`spark.sql.cbo.planStats.enabled`
+    * prices derived-aggregate join inputs more conservatively than raw
+    * size propagation — PLANS.md round-12 catalog-stats A/B), plus
+    * q74_star_join whose fifth dimension join does the same at sf10. The
+    * registry-wide A/B showed AQE reverses every demotion at RUNTIME, so
+    * the executed plan broadcasts in both postures. This test pins that
+    * executed-plan contract in CI: a Spark upgrade or config drift that
+    * lands an un-rescued SortMergeJoin on these shapes fails here, not in
+    * a cluster profile. (r12 VERDICT item 4.)
+    */
+  private val statsFlipFamily = Seq(
+    "q03_join_agg", "q41_semi_anti", "q59_nullsafe_join",
+    "q70_salted_join", "q74_star_join",
+    "q93_conversion_join", "q94_conversion_outer")
+
+  test("stats-flip family: executed plans broadcast in BOTH catalog-stats postures") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // (mode override, human label). None = default path-scan posture;
+    // Some("full") = catalog tables + column stats + planStats pricing —
+    // the posture under which the initial-plan demotions were observed.
+    val postures = Seq(None -> "path-scan", Some("full") -> "catalog-stats")
+    val failures = postures.flatMap { case (mode, label) =>
+      graft.sources.Tables.statsModeOverride = mode
+      if (mode.isDefined) spark.conf.set("spark.sql.cbo.planStats.enabled", "true")
+      try {
+        statsFlipFamily.flatMap { name =>
+          val df = SparkEntry.queries(name)(spark, TestSpark.sf01)
+          // Execute THIS plan's own physical tree so AQE finalizes THIS
+          // AdaptiveSparkPlanExec. df.count()/df.foreach() both build a NEW
+          // QueryExecution (foreach goes through df.rdd's re-plan) and would
+          // leave this plan un-finalized — its a.executedPlan would still be
+          // the initial (possibly SMJ-demoted) plan.
+          df.queryExecution.executedPlan.execute().count()
+          val s = df.queryExecution.executedPlan match {
+            case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+            case p => p.toString
+          }
+          val smj = s.contains("SortMergeJoin")
+          val bhj = s.contains("BroadcastHashJoin")
+          if (smj || !bhj)
+            Some(s"$name[$label]: smj=$smj bhj=$bhj") else None
+        }
+      } finally {
+        graft.sources.Tables.statsModeOverride = None
+        if (mode.isDefined) spark.conf.unset("spark.sql.cbo.planStats.enabled")
+      }
+    }
+    graft.operators.Dedup.releaseCaches(spark)
+    assert(failures.isEmpty,
+      s"executed-plan join strategy regressed (expected all-broadcast, no SMJ): $failures")
+  }
+
   test("no unplanned cartesian/nested-loop stage anywhere in the full registry") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, TestSpark.sf0001).queryExecution.executedPlan.toString

@@ -27,7 +27,11 @@ import duckdb
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
 dump = sys.argv[2] if len(sys.argv) > 2 else "/tmp/v10wide"
 NAME = "q111_embedding_clusters"
-THRESH = 0.35
+# Registry point defaults to the research threshold; the planted-dup
+# production-threshold check (tools/gen_planted_embeddings.py +
+# graft.tools.ClusterDump) overrides via env. Bands/bits stay pinned at
+# the (8, 8) setting the plane-extraction below assumes.
+THRESH = float(os.environ.get("GRAFT_CLUSTER_THRESH", "0.35"))
 BANDS = 8
 
 sql = json.load(open(f"{dump}/oracle_sql.json"))["q110_ann_lsh_scaled"]
