@@ -54,7 +54,20 @@ con.execute(
     "CREATE VIEW embeddings AS "
     f"SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')")
 
-con.execute(f"""CREATE TEMP TABLE pair_edges AS
+# GRAFT_CLUSTER_EDGES=<path to a q110-layout pair dump>: LAYERED mode for
+# the sf100 decade, where re-deriving the edge relation from raw
+# embeddings is the ~6e10-candidate join this box can't hold — use ONLY
+# with a dump already cross-engine verified by check_lsh_sampled.py
+# (full-dump precision + sampled-cell recall). The check then covers the
+# components/sizes stage given the verified edges; end-to-end derivation
+# stays the default everywhere the full enumeration fits.
+edges_src = os.environ.get("GRAFT_CLUSTER_EDGES")
+if edges_src:
+    con.execute(f"""CREATE TEMP TABLE pair_edges AS
+      SELECT vec_a, vec_b FROM read_parquet('{edges_src}/*.parquet')
+      WHERE cosine >= {THRESH}""")
+else:
+    con.execute(f"""CREATE TEMP TABLE pair_edges AS
 {pre},
 codes AS (SELECT vec_id, emb, nrm, {band_list} AS codes FROM e),
 banded AS (SELECT vec_id, emb, nrm, codes, unnest(range({BANDS})) AS band_idx FROM codes),
