@@ -25,12 +25,17 @@ object VerifyOne {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     names.foreach { name =>
-      // coalesce(16), not (1): every checker globs <name>/*.parquet, so a
-      // single file was never required — and at sf100 a coalesce(1) pulls
-      // a ~100M-row result through ONE write task (q110's dump sat at 1.5
-      // cores for hours in round 12). 16 keeps dumps tidy without
-      // serializing the tail of the job.
-      SparkEntry.queries(name)(spark, sfDir).coalesce(16)
+      // repartition(16), NOT coalesce(16): coalesce fuses the query's
+      // compute into 16 single-threaded writer tasks — round 13's q110
+      // sf100 dump collapsed a 2048-cell bucket join into 16 tasks and
+      // the largest ran HOURS behind the other 15 (partition-grain skew
+      // created by the fusion itself; the data had no mega-bucket, max
+      // cell 0.3% of candidates). The round-robin exchange costs one
+      // shuffle of the RESULT rows (cheap relative to recomputing any
+      // fused stage serially) and lets the query execute at full
+      // parallelism. coalesce(1)'s original sin is the same shape, worse
+      // constant (round 12: ~100M rows through one task for hours).
+      SparkEntry.queries(name)(spark, sfDir).repartition(16)
         .write.mode("overwrite").parquet(s"$outDir/$name")
       SparkEntry.oracleSql.get(name).foreach(sql =>
         Files.writeString(Paths.get(s"$outDir/$name.sql"), sql))
