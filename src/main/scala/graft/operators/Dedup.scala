@@ -239,9 +239,16 @@ object Dedup {
     * cluster); localCheckpoint truncates the growing lineage. At 100 TB
     * scale the same loop runs with edges pre-partitioned by src. */
   def connectedComponents(edges: DataFrame): DataFrame = {
+    // Edge checkpoint is SERIALIZED (MEMORY_AND_DISK_SER): the default
+    // level stores deserialized row COPIES memory-first, and at the sf100
+    // decade (1.5B symmetric edges) concurrent partition unrolls OOMed a
+    // 28g heap inside MemoryStore.putIteratorAsValues. Serialized blocks
+    // are ~4x smaller and evict/spill cleanly; each superstep streams the
+    // edges once, so deserialization cost is the right trade at every
+    // size. Label checkpoints stay default — they are node-grain (small).
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     var labels = sym.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).localCheckpoint()
     var changed = 1L

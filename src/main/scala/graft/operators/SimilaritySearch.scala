@@ -588,16 +588,44 @@ object SimilaritySearch {
       val inertias = Seq.newBuilder[Double]
       (0 until iters).foreach { _ =>
         val k = centroids.length
-        val scores = centroids.zipWithIndex.map { case (c, i) =>
-          val cc = c.map(v => v * v).sum
-          (lit(cc) - lit(2.0) * Similarity.dot(col("emb"), typedLit(c))).as(s"s$i")
+        // Assignment shape switches by k exactly like assignLiteral /
+        // assignByTable: the plan-literal score columns + nearestCid are
+        // O(k²) expression NODES (nested when-chain of And-chains), which
+        // overflows the Column→Expression conversion stack near k≈300 —
+        // real √N̅ cluster counts (sf10: k=447) crashed here before the
+        // table path below. Both paths compute the identical score
+        // (cc − 2·x·c, ties to the lowest cid), so the spec-pinned
+        // small-k results are unchanged.
+        val assigned = if (k <= literalPathMaxK) {
+          val scores = centroids.zipWithIndex.map { case (c, i) =>
+            val cc = c.map(v => v * v).sum
+            (lit(cc) - lit(2.0) * Similarity.dot(col("emb"), typedLit(c))).as(s"s$i")
+          }
+          e.select((col("emb") +: scores): _*)
+            .withColumn("cid", nearestCid(k))
+            // true squared distance for the inertia metric: ‖x‖² + best score
+            .withColumn("dist2",
+              Similarity.dot(col("emb"), col("emb")) +
+                least((0 until k).map(i => col(s"s$i")): _*))
+        } else {
+          import vecs.sparkSession.implicits._
+          val cdf = centroids.zipWithIndex
+            .map { case (c, i) => (i, c, c.map(v => v * v).sum) }
+            .toDF("c_cid", "c_vec", "c_cc")
+          // row identity for the per-vector argmin: the input relation has
+          // no key (training runs over bare emb vectors), so synthesize
+          // one. Uniqueness per row is all the groupBy needs — the id
+          // never reaches the result, and `e` is persisted so positions
+          // are stable under recomputation.
+          e.withColumn("rid", monotonically_increasing_id())
+            .crossJoin(broadcast(cdf))
+            .withColumn("s", col("c_cc") - lit(2.0) * Similarity.dot(col("emb"), col("c_vec")))
+            .groupBy(col("rid"))
+            .agg(min(struct(col("s"), col("c_cid"))).as("m"),
+              first(col("emb")).as("emb"))
+            .select(col("emb"), col("m.c_cid").as("cid"),
+              (Similarity.dot(col("emb"), col("emb")) + col("m.s")).as("dist2"))
         }
-        val assigned = e.select((col("emb") +: scores): _*)
-          .withColumn("cid", nearestCid(k))
-          // true squared distance for the inertia metric: ‖x‖² + best score
-          .withColumn("dist2",
-            Similarity.dot(col("emb"), col("emb")) +
-              least((0 until k).map(i => col(s"s$i")): _*))
         val stats = assigned
           .select(col("cid"), col("dist2"), posexplode(col("emb")).as(Seq("d", "x")))
           .groupBy(col("cid"), col("d"))
@@ -964,16 +992,31 @@ object SimilaritySearch {
       sampleCap: Int = 65536): org.apache.spark.sql.DataFrame =
     semdedupPrune(sampleTrainedAssignment(s, dir, iters, sampleCap), tau)
 
+  /** The bounded md5-rank training sample (q88's carve-out mechanism) —
+    * ONE definition shared by `sampleTrainedAssignment` and
+    * SemdedupTrainProbe so the measured rung is the shipped rung.
+    * Repartition after the sort-LIMIT: the limit emits the sample as ONE
+    * partition, and without the exchange every Lloyd iteration over it
+    * runs single-threaded — measured SLOWER than full-corpus training at
+    * sf10 (129 s vs 108 s) despite 3× less data. Same lesson as the
+    * writer-fusion straggler: never feed a cardinality-reducing
+    * single-partition op straight into a compute-heavy stage. The
+    * exchange moves sampleCap rows once. */
+  private[graft] def md5Sample(s: org.apache.spark.sql.SparkSession,
+      e: org.apache.spark.sql.DataFrame, n: Long,
+      sampleCap: Int): org.apache.spark.sql.DataFrame =
+    if (n <= sampleCap) e
+    else e.orderBy(md5(col("vec_id").cast("string").cast("binary")),
+      col("vec_id")).limit(sampleCap)
+      .repartition(s.sparkContext.defaultParallelism)
+
   private[graft] def sampleTrainedAssignment(s: org.apache.spark.sql.SparkSession,
       dir: String, iters: Int = 3, sampleCap: Int = 65536): org.apache.spark.sql.DataFrame = {
     val e = embWithNorm(s, dir)
     val n = e.count()
     val k = math.min(sampleCap.toLong,
       math.max(2L, math.round(math.sqrt(n.toDouble)))).toInt
-    val sample =
-      if (n <= sampleCap) e
-      else e.orderBy(md5(col("vec_id").cast("string").cast("binary")),
-        col("vec_id")).limit(sampleCap)
+    val sample = md5Sample(s, e, n, sampleCap)
     // bounded collect: k ≤ sampleCap rows × dim doubles — model-grain
     val init = sample.orderBy(col("vec_id")).limit(k)
       .select(col("emb")).collect().map(_.getSeq[Double](0).toArray).toSeq

@@ -20,8 +20,14 @@ object ClustersFromDump {
     val out = args(1)
     val thr = if (args.length > 2) args(2).toDouble else 0.35
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    // sf100 pair relations are ~750M rows (1.5B symmetric): the distinct
+    // inside connectedComponents needs reduce partitions sized to the
+    // EDGE count, not the core count — 16 partitions put ~94M-pair hash
+    // sets in every task and OOMed a 24g heap. Default 256 keeps
+    // per-task state ~6M pairs.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "256")
     val spark = SparkPosture(SparkSession.builder()).master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

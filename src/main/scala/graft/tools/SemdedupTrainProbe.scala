@@ -54,11 +54,11 @@ object SemdedupTrainProbe {
       val k = math.min(cap.toLong,
         math.max(2L, math.round(math.sqrt(n.toDouble)))).toInt
       // sample-trained rung, instrumented: carve + init + Lloyd on S rows
+      // (the carve is the LIBRARY's md5Sample — the probe must measure the
+      // shipped rung; an inline copy here silently missed the
+      // post-limit repartition and measured a single-threaded Lloyd)
       val (centroids, tSample) = secs {
-        val sample =
-          if (n <= cap) e
-          else e.orderBy(md5(col("vec_id").cast("string").cast("binary")),
-            col("vec_id")).limit(cap)
+        val sample = SimilaritySearch.md5Sample(spark, e, n, cap)
         val init = sample.orderBy(col("vec_id")).limit(k)
           .select(col("emb")).collect().map(_.getSeq[Double](0).toArray).toSeq
         SimilaritySearch.kmeansIterateOn(sample.select(col("emb")), iters, init)._1
