@@ -83,9 +83,13 @@ pairs AS (
 SELECT vec_a, vec_b FROM pairs WHERE cosine >= {THRESH}""")
 n_pairs = con.execute("SELECT COUNT(*) FROM pair_edges").fetchone()[0]
 
+# UNION ALL, not UNION: pair_edges is unique with vec_a < vec_b by
+# construction (first-colliding-band emission / verified dump), so the
+# symmetric doubling has no duplicates — a distinct here dedups 2x the
+# edge count for nothing (it exhausted spill disk at sf100's 743M pairs).
 con.execute("""CREATE TEMP TABLE edges AS
   SELECT vec_a AS src, vec_b AS dst FROM pair_edges
-  UNION SELECT vec_b, vec_a FROM pair_edges""")
+  UNION ALL SELECT vec_b, vec_a FROM pair_edges""")
 con.execute("""CREATE TEMP TABLE labels AS
   SELECT DISTINCT src AS v, src AS rep FROM edges""")
 
