@@ -79,10 +79,14 @@ object Bench {
     // Default artifact path is INSIDE the repo: the round driver commits
     // uncommitted work at round end, so the full per-query detail (all
     // samples + cold) rides into the round's history next to BENCH_rN.json
-    // instead of dying in /tmp (VERDICT r12 item 5).
+    // instead of dying in /tmp (VERDICT r12 item 5). Resolved from the
+    // working directory, not a machine-specific literal (ADVICE r13), so
+    // the committed-detail guarantee holds on any checkout location.
+    val cwdBench = java.nio.file.Paths.get(
+      sys.props.getOrElse("user.dir", ".")).resolve("bench")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/root/repo/bench")))
-        "/root/repo/bench/last_bench.json"
+      if (java.nio.file.Files.isDirectory(cwdBench))
+        cwdBench.resolve("last_bench.json").toString
       else "/tmp/graft_bench.json")
     val spark = SparkPosture(SparkSession.builder())
       .master(s"local[$cpus]")
@@ -152,11 +156,43 @@ object Bench {
       .filter(_._3 > 0.25).sortBy(-_._3).take(8)
       .map { case (n, c, _) => s"\"" + n + "\":" + r4(c) }
       .mkString("{", ",", "}")
+    // Normalized total (VERDICT r13 item 5): total in CONTROL UNITS, so the
+    // contract line alone answers "did the binary get slower" without the
+    // judge dividing. When the previous round's BENCH_r{N}.json sits in the
+    // working dir (the driver commits it there), also carry the normalized
+    // delta vs the latest one — each artifact is self-comparing from r14 on.
+    val normalized = r4(total / control)
+    val prevDelta: String = {
+      val cwd = java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."))
+      val rx = "BENCH_r(\\d+)\\.json".r
+      val prev = Option(cwd.toFile.listFiles()).getOrElse(Array.empty)
+        .flatMap(f => f.getName match {
+          case rx(n) => Some((n.toInt, f)); case _ => None
+        }).sortBy(-_._1).headOption
+      prev.flatMap { case (rn, f) =>
+        val txt = try new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8) catch { case _: Throwable => "" }
+        // BENCH_rN.json is the driver's wrapper: `parsed` carries the
+        // contract fields with a space after the colon (python json),
+        // while the raw contract line inside `tail` is escaped (\" breaks
+        // a literal-quote match) — the \s* form therefore lands exactly
+        // on the parsed object's values.
+        def num(k: String): Option[Double] =
+          ("\"" + k + "\"\\s*:\\s*([0-9.]+)").r.findFirstMatchIn(txt)
+            .map(_.group(1).toDouble)
+        for { pv <- num("value"); pc <- num("control"); if pc > 0 } yield {
+          val pn = pv / pc
+          s""","prev_round":$rn,"prev_normalized":${r4(pn)}""" +
+            s""","normalized_delta_pct":${r4((normalized / pn - 1) * 100)}"""
+        }
+      }.getOrElse("")
+    }
     // ~900 B contract line — total + families + control + cold summary +
     // artifact pointer (per-query medians overflowed the capture window)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","families":$fams,""" +
       s""""control":$control,"control_id":"$ControlId",""" +
+      s""""normalized":$normalized$prevDelta,""" +
       s""""cold_total":$coldTotal,"cold_hot":$coldHot,""" +
       s""""sf":"$sfDir","passes":$passes,"stat":"median","artifact":"$outPath"}"""
     // Full artifact — all samples per query, so a contaminated pass is
@@ -170,6 +206,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
       s""""cpus":"$cpus","passes":$passes,"stat":"median",""" +
       s""""control":$control,"control_id":"$ControlId",""" +
+      s""""normalized":$normalized,""" +
       s""""cold_total":$coldTotal,""" +
       s""""families":$fams,"anchors":$anchorList,"queries":$qs,"detail":$detail}"""
     val p = java.nio.file.Paths.get(outPath)

@@ -26,7 +26,12 @@ object DumpLshPairs {
     spark.sparkContext.setLogLevel("WARN")
     graft.operators.SimilaritySearch
       .lshPairs(spark, sfDir, bands.toInt, bits.toInt, thr.toDouble)
-      .coalesce(8)
+      // repartition, NOT coalesce: coalesce(8) fuses the bucket self-join
+      // into 8 single-threaded tasks (the VerifyOne round-13 lesson — the
+      // fusion itself creates partition-grain skew); the round-robin
+      // exchange of RESULT rows is cheap next to recomputing any fused
+      // stage serially.
+      .repartition(16)
       .write.mode("overwrite").parquet(outDir)
     spark.stop()
   }

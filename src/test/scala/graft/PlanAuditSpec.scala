@@ -106,10 +106,36 @@ class PlanAuditSpec extends AnyFunSuite {
     val postures = Seq(None -> "path-scan", Some("full") -> "catalog-stats")
     val failures = postures.flatMap { case (mode, label) =>
       graft.sources.Tables.statsModeOverride = mode
-      if (mode.isDefined) spark.conf.set("spark.sql.cbo.planStats.enabled", "true")
+      if (mode.isDefined) {
+        spark.conf.set("spark.sql.cbo.planStats.enabled", "true")
+        // ADVICE r13: registration is once-per-session, so this posture
+        // used to be FULL-stats only because this test happened to
+        // register the sf0.1 tables first — any earlier registrar under a
+        // weaker posture would silently downgrade what's being audited.
+        // Drop every graft_* catalog table so re-registration below
+        // happens under THIS posture; the stats assertions further down
+        // then verify (not assume) that the catalog actually carries them.
+        spark.catalog.listTables().collect()
+          .filter(_.name.startsWith("graft_"))
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `${t.name}`"))
+      }
       try {
         statsFlipFamily.flatMap { name =>
           val df = SparkEntry.queries(name)(spark, TestSpark.sf01)
+          if (mode.isDefined) {
+            // Verify the audited posture: every catalog-table leaf of the
+            // optimized plan must price with a rowCount and column stats.
+            import org.apache.spark.sql.execution.datasources.LogicalRelation
+            val catLeaves = df.queryExecution.optimizedPlan.collectLeaves()
+              .collect { case l: LogicalRelation if l.catalogTable.isDefined => l }
+            assert(catLeaves.nonEmpty,
+              s"$name[$label]: no catalog-table leaves — posture not in effect")
+            val unpriced = catLeaves.filter(l =>
+              l.stats.rowCount.isEmpty || l.stats.attributeStats.isEmpty)
+            assert(unpriced.isEmpty,
+              s"$name[$label]: catalog leaves without rowCount/column stats: " +
+                unpriced.map(_.catalogTable.get.identifier.table))
+          }
           // Execute THIS plan's own physical tree so AQE finalizes THIS
           // AdaptiveSparkPlanExec. df.count()/df.foreach() both build a NEW
           // QueryExecution (foreach goes through df.rdd's re-plan) and would

@@ -143,9 +143,24 @@ SELECT COUNT(*) FROM (
     SELECT unnest(range({BANDS})) AS band_idx, b AS bucket
     FROM (SELECT unnest(range(256)) AS b))
   WHERE hash(band_idx * 256 + bucket) % {mod} = 0)""").fetchone()[0]
+if duck_rows == 0:
+    # An empty sampled universe satisfies diff==0 vacuously (a mis-matched
+    # sampling hash or an over-large mod would "pass" while checking
+    # nothing) — refuse to certify recall on it.
+    print(f"FAIL {NAME}: recall half vacuous — sampled universe is empty "
+          f"(cells={n_cells} mod={mod} duck=0); lower mod or check the "
+          f"sampling hash")
+    sys.exit(1)
 if diff_rows == 0 and duck_rows == spark_rows:
+    # Cells are md5/hash-sampled, so per-cell exactness is exchangeable:
+    # observing 0 defective cells among k sampled bounds the defective-cell
+    # fraction p by the rule of three, p <= 3/k at 95% confidence.
+    bound = min(1.0, 3.0 / n_cells)
     print(f"PASS {NAME} recall-sample (cells={n_cells}/{BANDS * 256} "
           f"mod={mod}: duck={duck_rows} spark={spark_rows} exact)")
+    print(f"  coverage: 0 defective cells in {n_cells} hash-sampled -> "
+          f"defective-cell fraction <= {bound:.3%} at 95% confidence "
+          f"(rule of three; exchangeable under hash sampling)")
     sys.exit(0)
 print(f"FAIL {NAME}: recall half — cells={n_cells} duck={duck_rows} "
       f"spark={spark_rows} diff={diff_rows}")

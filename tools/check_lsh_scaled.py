@@ -24,6 +24,7 @@ PASS/FAIL in selfcheck.log format.
 """
 import json
 import os
+import shutil
 import sys
 
 import duckdb
@@ -80,6 +81,33 @@ con.execute(f"SET temp_directory='{tmp}'")
 con.execute(
     "CREATE VIEW embeddings AS "
     f"SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')")
+
+# Pre-flight spill estimate (VERDICT r13 item 2): the exact candidate
+# count comes from (band, bucket) occupancy — a cheap aggregation, no
+# join. If the implied spill exceeds free space on the temp volume,
+# refuse up front (pointing at check_lsh_sampled.py, the decade built for
+# exactly this regime) instead of crashing hours into the join.
+occ = f"""{pre},
+codes AS (SELECT vec_id, {band_list} AS codes FROM e),
+banded AS (SELECT codes[band_idx + 1] AS bucket, band_idx
+           FROM codes, (SELECT unnest(range({BANDS})) AS band_idx))
+SELECT COALESCE(SUM(c * (c - 1) / 2), 0) FROM (
+  SELECT band_idx, bucket, COUNT(*) AS c FROM banded GROUP BY 1, 2)"""
+cand = con.execute(occ).fetchone()[0]
+need_gb = cand * 64 * 2 / 1e9
+# GRAFT_FAKE_FREE_GB: test hook — exercise the refusal branch without
+# actually filling the disk.
+free_gb = float(os.environ.get("GRAFT_FAKE_FREE_GB",
+                               shutil.disk_usage(tmp).free / 1e9))
+print(f"[preflight] candidates={cand} est_spill={need_gb:.1f}GB "
+      f"free({tmp})={free_gb:.1f}GB", flush=True)
+if need_gb > free_gb * 0.8:
+    print(f"FAIL {NAME}: full re-enumeration needs ~{need_gb:.0f} GB spill "
+          f"but {tmp} has {free_gb:.0f} GB free — set GRAFT_DUCK_TMP to a "
+          f"larger volume, or use check_lsh_sampled.py (precision over the "
+          f"full dump + sampled-cell recall) at this scale")
+    sys.exit(1)
+
 duck_rows, spark_rows, diff_rows = con.execute(check).fetchone()
 if diff_rows == 0 and duck_rows == spark_rows:
     print(f"PASS {NAME} (streamed first-band check: {spark_rows} rows exact)")

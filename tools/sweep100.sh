@@ -17,6 +17,26 @@ cd "$(dirname "$0")/.."
 SF="${1:-/tmp/sf100}"; OUT="${2:-/tmp/v100wide}"; LOG="${3:-$OUT/selfcheck.log}"
 mkdir -p "$OUT"; touch "$LOG"
 
+# Disk safety (VERDICT r13 item 2): the r13 sweep died once on
+# /tmp/duck_spill ENOSPC mid-check. Put the DuckDB spill dir on the volume
+# with the most free space (unless the caller pinned GRAFT_DUCK_TMP), and
+# refuse to start a fresh sweep when free space is below a floor — the
+# checkers also pre-flight per-query against their own spill estimates.
+if [ -z "${GRAFT_DUCK_TMP:-}" ]; then
+  best=$(df -P /tmp /var/tmp "$OUT" 2>/dev/null | awk 'NR>1 {print $4, $6}' \
+    | sort -rn | head -1 | awk '{print $2}')
+  export GRAFT_DUCK_TMP="${best:-/tmp}/duck_spill"
+fi
+mkdir -p "$GRAFT_DUCK_TMP"
+free_gb=$(df -P "$GRAFT_DUCK_TMP" | awk 'NR==2 {print int($4/1048576)}')
+echo "[sweep100] spill dir $GRAFT_DUCK_TMP (${free_gb} GB free)" >&2
+if [ "$free_gb" -lt 20 ]; then
+  echo "[sweep100] ABORT: ${free_gb} GB free on $GRAFT_DUCK_TMP is below" \
+       "the 20 GB floor for sf100 checks — clear space or point" \
+       "GRAFT_DUCK_TMP at a larger volume" >&2
+  exit 1
+fi
+
 run() { # run <name> <cmd...>
   local n="$1"; shift
   # Resume on word boundary, not end anchor: check_*_scaled.py print
@@ -24,13 +44,19 @@ run() { # run <name> <cmd...>
   # multi-hour checks re-ran on every resume (round-12 ADVICE).
   if grep -q "^PASS $n\b" "$LOG"; then return; fi
   echo "[sweep100] $(date +%H:%M:%S) checking $n" >&2
-  local res
+  local res detail
   res=$("$@" 2>&1 | grep -E "^(PASS|FAIL)" | tail -1 || true)
-  # Normalize the logged line so the resume grep is format-independent.
+  # Normalize the logged line so the resume grep is format-independent:
+  # strip the checker's own "FAIL <whatever>: " prefix only when it has
+  # one; otherwise log the raw line minus the FAIL keyword (round-13
+  # ADVICE: ${res#FAIL*: } left a doubled "FAIL ... FAIL" prefix when the
+  # checker's FAIL line carried no ': ').
   case "$res" in
-    PASS*) echo "PASS $n" | tee -a "$LOG" ;;
-    FAIL*) echo "FAIL $n: ${res#FAIL*: }" | tee -a "$LOG" ;;
-    *)     echo "FAIL $n: check produced no verdict" | tee -a "$LOG" ;;
+    PASS*)      echo "PASS $n" | tee -a "$LOG" ;;
+    FAIL*": "*) echo "FAIL $n: ${res#FAIL*: }" | tee -a "$LOG" ;;
+    FAIL*)      detail="${res#FAIL}"; echo "FAIL $n:${detail:- no detail}" \
+                  | tee -a "$LOG" ;;
+    *)          echo "FAIL $n: check produced no verdict" | tee -a "$LOG" ;;
   esac
 }
 
