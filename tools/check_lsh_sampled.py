@@ -73,8 +73,18 @@ SELECT vec_id, emb, nrm, {band_list} AS codes FROM e""")
 
 spark_glob = f"{dump}/{NAME}/*.parquet"
 
+# GRAFT_RECALL_ONLY=1: skip the precision half — for WIDENING the recall
+# sample (a larger mod run) on a dump whose precision half already passed
+# in a recorded run; the output states the skip so the log can't be read
+# as a fresh full-split PASS.
+recall_only = os.environ.get("GRAFT_RECALL_ONLY") == "1"
+
 # ---- half 1: precision over the full dump ----------------------------
-n, bad_cos, bad_thr, bad_ord, bad_nocollide = con.execute(f"""
+if recall_only:
+    print(f"SKIP {NAME} precision half (GRAFT_RECALL_ONLY=1 — valid only "
+          f"alongside a recorded precision PASS for this same dump)")
+else:
+    n, bad_cos, bad_thr, bad_ord, bad_nocollide = con.execute(f"""
 WITH spark AS (SELECT * FROM read_parquet('{spark_glob}')),
 j AS (
   SELECT s.vec_a, s.vec_b, s.cosine,
@@ -90,18 +100,19 @@ SELECT COUNT(*),
   SUM(CASE WHEN vec_a < vec_b THEN 0 ELSE 1 END),
   SUM(CASE WHEN fb IS NULL THEN 1 ELSE 0 END)
 FROM j""").fetchone()
-dups = con.execute(f"""
+    dups = con.execute(f"""
 SELECT COUNT(*) - COUNT(DISTINCT (vec_a, vec_b))
 FROM read_parquet('{spark_glob}')""").fetchone()[0]
-spark_total = con.execute(
-    f"SELECT COUNT(*) FROM read_parquet('{spark_glob}')").fetchone()[0]
-if n != spark_total or bad_cos or bad_thr or bad_ord or bad_nocollide or dups:
-    print(f"FAIL {NAME}: precision half — joined={n}/{spark_total} "
-          f"bad_cos={bad_cos} bad_thr={bad_thr} bad_ord={bad_ord} "
-          f"no_collision={bad_nocollide} dups={dups}")
-    sys.exit(1)
-print(f"PASS {NAME} precision ({spark_total} pairs: cosine bitwise-exact, "
-      f">= {THRESH}, ordered, unique, collide >= 1 band)")
+    spark_total = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{spark_glob}')").fetchone()[0]
+    if (n != spark_total or bad_cos or bad_thr or bad_ord
+            or bad_nocollide or dups):
+        print(f"FAIL {NAME}: precision half — joined={n}/{spark_total} "
+              f"bad_cos={bad_cos} bad_thr={bad_thr} bad_ord={bad_ord} "
+              f"no_collision={bad_nocollide} dups={dups}")
+        sys.exit(1)
+    print(f"PASS {NAME} precision ({spark_total} pairs: cosine "
+          f"bitwise-exact, >= {THRESH}, ordered, unique, collide >= 1 band)")
 
 # ---- half 2: multiset-exact recall on sampled first-band cells -------
 duck_rows, spark_rows, diff_rows = con.execute(f"""
