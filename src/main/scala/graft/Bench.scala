@@ -180,7 +180,12 @@ object Bench {
         def num(k: String): Option[Double] =
           ("\"" + k + "\"\\s*:\\s*([0-9.]+)").r.findFirstMatchIn(txt)
             .map(_.group(1).toDouble)
-        for { pv <- num("value"); pc <- num("control"); if pc > 0 } yield {
+        // only comparable at the SAME sf: BENCH_rN is the driver's sf0.1
+        // record — an sf1 self-bench against it would print a huge
+        // "delta" that is just the scale factor
+        val sameSf = num("sf").exists(psf => sfDir.endsWith(
+          "sf" + (if (psf % 1 == 0) psf.toLong.toString else psf.toString)))
+        for { pv <- num("value"); pc <- num("control"); if pc > 0 && sameSf } yield {
           val pn = pv / pc
           s""","prev_round":$rn,"prev_normalized":${r4(pn)}""" +
             s""","normalized_delta_pct":${r4((normalized / pn - 1) * 100)}"""
