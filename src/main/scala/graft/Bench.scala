@@ -72,6 +72,41 @@ object Bench {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Self-comparison fields for the contract line (VERDICT r13 item 5):
+    * find the latest BENCH_r{N}.json (the driver's committed wrapper) in
+    * `cwd`, recover its normalized total, and emit
+    * `,"prev_round":N,"prev_normalized":x,"normalized_delta_pct":y` — or
+    * "" when there is no comparable record. Parsing notes: the wrapper's
+    * `parsed` object carries the contract fields with a space after the
+    * colon (python json), while the raw contract line inside `tail` is
+    * escaped (\" breaks a literal-quote match) — the \s* form therefore
+    * lands exactly on the parsed object's values. Only comparable at the
+    * SAME sf: BENCH_rN is the driver's sf0.1 record — an sf1 self-bench
+    * against it would print a huge "delta" that is just the scale factor.
+    */
+  private[graft] def prevRoundFields(cwd: java.nio.file.Path, sfDir: String,
+      normalized: Double): String = {
+    val rx = "BENCH_r(\\d+)\\.json".r
+    val prev = Option(cwd.toFile.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => f.getName match {
+        case rx(n) => Some((n.toInt, f)); case _ => None
+      }).sortBy(-_._1).headOption
+    prev.flatMap { case (rn, f) =>
+      val txt = try new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8) catch { case _: Throwable => "" }
+      def num(k: String): Option[Double] =
+        ("\"" + k + "\"\\s*:\\s*([0-9.]+)").r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble)
+      val sameSf = num("sf").exists(psf => sfDir.endsWith(
+        "sf" + (if (psf % 1 == 0) psf.toLong.toString else psf.toString)))
+      for { pv <- num("value"); pc <- num("control"); if pc > 0 && sameSf } yield {
+        val pn = pv / pc
+        s""","prev_round":$rn,"prev_normalized":${r4(pn)}""" +
+          s""","normalized_delta_pct":${r4((normalized / pn - 1) * 100)}"""
+      }
+    }.getOrElse("")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -162,36 +197,9 @@ object Bench {
     // working dir (the driver commits it there), also carry the normalized
     // delta vs the latest one — each artifact is self-comparing from r14 on.
     val normalized = r4(total / control)
-    val prevDelta: String = {
-      val cwd = java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."))
-      val rx = "BENCH_r(\\d+)\\.json".r
-      val prev = Option(cwd.toFile.listFiles()).getOrElse(Array.empty)
-        .flatMap(f => f.getName match {
-          case rx(n) => Some((n.toInt, f)); case _ => None
-        }).sortBy(-_._1).headOption
-      prev.flatMap { case (rn, f) =>
-        val txt = try new String(java.nio.file.Files.readAllBytes(f.toPath),
-          java.nio.charset.StandardCharsets.UTF_8) catch { case _: Throwable => "" }
-        // BENCH_rN.json is the driver's wrapper: `parsed` carries the
-        // contract fields with a space after the colon (python json),
-        // while the raw contract line inside `tail` is escaped (\" breaks
-        // a literal-quote match) — the \s* form therefore lands exactly
-        // on the parsed object's values.
-        def num(k: String): Option[Double] =
-          ("\"" + k + "\"\\s*:\\s*([0-9.]+)").r.findFirstMatchIn(txt)
-            .map(_.group(1).toDouble)
-        // only comparable at the SAME sf: BENCH_rN is the driver's sf0.1
-        // record — an sf1 self-bench against it would print a huge
-        // "delta" that is just the scale factor
-        val sameSf = num("sf").exists(psf => sfDir.endsWith(
-          "sf" + (if (psf % 1 == 0) psf.toLong.toString else psf.toString)))
-        for { pv <- num("value"); pc <- num("control"); if pc > 0 && sameSf } yield {
-          val pn = pv / pc
-          s""","prev_round":$rn,"prev_normalized":${r4(pn)}""" +
-            s""","normalized_delta_pct":${r4((normalized / pn - 1) * 100)}"""
-        }
-      }.getOrElse("")
-    }
+    val prevDelta: String = prevRoundFields(
+      java.nio.file.Paths.get(sys.props.getOrElse("user.dir", ".")),
+      sfDir, normalized)
     // ~900 B contract line — total + families + control + cold summary +
     // artifact pointer (per-query medians overflowed the capture window)
     val line =
