@@ -48,10 +48,14 @@ object Bench {
     * (~1.4× slower host); this makes every artifact self-normalizing.
     * The workload is versioned (`control_id`) and must NEVER change
     * within a version — a changed workload is a new id. Median of 3
-    * after one untimed codegen warmup.
+    * after `warmups` untimed runs: the FIRST point of a run needs 3
+    * (measured: with 1, the before-pass point read 19.3 s vs 4.2 s fully
+    * warm — C2 compilation of the control shape spans several executions
+    * and would have inflated the spread floor to ~277%, flagging every
+    * future delta as noise); later same-JVM points need only 1.
     */
   val ControlId = "range30m-xxhash-agg1m-v1"
-  private def controlSeconds(spark: SparkSession): Double = {
+  private def controlSeconds(spark: SparkSession, warmups: Int = 1): Double = {
     import org.apache.spark.sql.functions._
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
@@ -67,42 +71,70 @@ object Bench {
           .orderBy(col("sh")).limit(100).count()
         (System.nanoTime() - t0) / 1e9
       }
-      once() // untimed: codegen/JIT for the control shape
+      (1 to warmups).foreach(_ => once()) // untimed: codegen/JIT warmup
       Vector.fill(3)(once()).sorted.apply(1)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Self-comparison fields for the contract line (VERDICT r13 item 5):
-    * find the latest BENCH_r{N}.json (the driver's committed wrapper) in
-    * `cwd`, recover its normalized total, and emit
+    * find the latest PREVIOUS-round BENCH_r{N}.json (the driver's committed
+    * wrapper) in `cwd`, recover its normalized total, and emit
     * `,"prev_round":N,"prev_normalized":x,"normalized_delta_pct":y` — or
     * "" when there is no comparable record. Parsing notes: the wrapper's
     * `parsed` object carries the contract fields with a space after the
     * colon (python json), while the raw contract line inside `tail` is
     * escaped (\" breaks a literal-quote match) — the \s* form therefore
-    * lands exactly on the parsed object's values. Only comparable at the
-    * SAME sf: BENCH_rN is the driver's sf0.1 record — an sf1 self-bench
-    * against it would print a huge "delta" that is just the scale factor.
+    * lands exactly on the parsed object's values; values may be negative
+    * or scientific (ADVICE r14: [0-9.]+ silently failed on those). Only
+    * comparable at the SAME sf: BENCH_rN is the driver's sf0.1 record — an
+    * sf1 self-bench against it would print a huge "delta" that is just the
+    * scale factor.
+    *
+    * `roundCap` (env GRAFT_ROUND): wrappers with round >= cap are skipped,
+    * so a re-run AFTER the current round's wrapper is committed compares
+    * against the true previous round, not itself (ADVICE r14: r14's
+    * refresh commit reported a self-delta). Unset, the latest wrapper wins
+    * — correct for the driver's in-round run, where the newest wrapper on
+    * disk IS the previous round.
+    *
+    * `spreadPct` (VERDICT r14 item 2): the same-binary control spread
+    * observed this run — a |delta| below it is indistinguishable from
+    * host-speed wobble, so the fields gain `"delta_noise":true` instead of
+    * letting a judge read signal into noise.
     */
   private[graft] def prevRoundFields(cwd: java.nio.file.Path, sfDir: String,
-      normalized: Double): String = {
+      normalized: Double, spreadPct: Double = 0.0,
+      roundCap: Option[Int] = None, cpus: String = "32"): String = {
     val rx = "BENCH_r(\\d+)\\.json".r
     val prev = Option(cwd.toFile.listFiles()).getOrElse(Array.empty)
       .flatMap(f => f.getName match {
         case rx(n) => Some((n.toInt, f)); case _ => None
-      }).sortBy(-_._1).headOption
+      }).filter { case (n, _) => roundCap.forall(n < _) }
+      .sortBy(-_._1).headOption
     prev.flatMap { case (rn, f) =>
       val txt = try new String(java.nio.file.Files.readAllBytes(f.toPath),
         java.nio.charset.StandardCharsets.UTF_8) catch { case _: Throwable => "" }
       def num(k: String): Option[Double] =
-        ("\"" + k + "\"\\s*:\\s*([0-9.]+)").r.findFirstMatchIn(txt)
-          .map(_.group(1).toDouble)
+        ("\"" + k + "\"\\s*:\\s*(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)").r
+          .findFirstMatchIn(txt).map(_.group(1).toDouble)
       val sameSf = num("sf").exists(psf => sfDir.endsWith(
         "sf" + (if (psf % 1 == 0) psf.toLong.toString else psf.toString)))
-      for { pv <- num("value"); pc <- num("control"); if pc > 0 && sameSf } yield {
+      // normalized totals only cancel host speed at the SAME parallelism:
+      // the control is pinned to 32 slices, so at fewer cpus it slows more
+      // than the mixed registry does (measured: 27.0 at cpus=32 vs 8.1 at
+      // cpus=8, same binary) — a cross-cpu "delta" is just the cpu count.
+      // Wrappers without a cpus field (none exist) are conservatively
+      // incomparable.
+      val sameCpus = num("cpus").exists(pc =>
+        cpus.toDoubleOption.contains(pc))
+      for { pv <- num("value"); pc <- num("control")
+            if pc > 0 && sameSf && sameCpus } yield {
         val pn = pv / pc
+        val delta = r4((normalized / pn - 1) * 100)
+        val noise = if (math.abs(delta) < spreadPct) ""","delta_noise":true"""
+                    else ""
         s""","prev_round":$rn,"prev_normalized":${r4(pn)}""" +
-          s""","normalized_delta_pct":${r4((normalized / pn - 1) * 100)}"""
+          s""","normalized_delta_pct":$delta$noise"""
       }
     }.getOrElse("")
   }
@@ -139,19 +171,31 @@ object Bench {
     // Untimed warmup: exercises codegen/JIT/parquet-footer paths once so the
     // first timed query doesn't absorb JVM warmup (flagship on sf0.001).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // Host-speed denominator, measured BEFORE the passes so a long bench
-    // run's thermal/contention drift doesn't contaminate the calibration.
-    val control = r4(controlSeconds(spark))
+    // Host-speed denominator, INTERLEAVED with the passes (VERDICT r14
+    // item 2): a single up-front calibration point let contention drift
+    // DURING the ~1 min run masquerade as binary speed change — r14's
+    // −28.2% "improvement" was largely a slow r13 control. Three points
+    // (before / after the middle pass / after the last pass), each itself
+    // a median-of-3; the denominator is their median, and their relative
+    // spread is the run's observable same-binary noise floor — any
+    // round-over-round delta below it is flagged as noise.
+    val controlPoints = scala.collection.mutable.ArrayBuffer.empty[Double]
+    controlPoints += r4(controlSeconds(spark, warmups = 3))
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     // samples(name) = one wall time per pass, in pass order
     val samples = scala.collection.mutable.LinkedHashMap(
       named.map { case (n, _) => n -> Vector.empty[Double] }: _*)
-    for (_ <- 1 to passes; (name, fn) <- named) {
-      System.gc() // don't charge query N with query N-1's garbage
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+    val midPass = (passes + 1) / 2
+    for (pass <- 1 to passes) {
+      for ((name, fn) <- named) {
+        System.gc() // don't charge query N with query N-1's garbage
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+      }
+      if (pass == midPass && passes > 1) controlPoints += r4(controlSeconds(spark))
     }
+    controlPoints += r4(controlSeconds(spark))
     graft.operators.Dedup.releaseCaches(spark) // free memoized persists
     def median(v: Vector[Double]): Double = {
       val s = v.sorted
@@ -196,15 +240,21 @@ object Bench {
     // judge dividing. When the previous round's BENCH_r{N}.json sits in the
     // working dir (the driver commits it there), also carry the normalized
     // delta vs the latest one — each artifact is self-comparing from r14 on.
+    val control = r4(median(controlPoints.toVector))
+    val spreadPct = if (control > 0)
+      r4((controlPoints.max - controlPoints.min) / control * 100) else 0.0
     val normalized = r4(total / control)
     val prevDelta: String = prevRoundFields(
       java.nio.file.Paths.get(sys.props.getOrElse("user.dir", ".")),
-      sfDir, normalized)
+      sfDir, normalized, spreadPct,
+      sys.env.get("GRAFT_ROUND").flatMap(_.toIntOption), cpus)
     // ~900 B contract line — total + families + control + cold summary +
     // artifact pointer (per-query medians overflowed the capture window)
+    val cpts = controlPoints.map(r4).mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","families":$fams,""" +
       s""""control":$control,"control_id":"$ControlId",""" +
+      s""""control_points":$cpts,"control_spread_pct":$spreadPct,""" +
       s""""normalized":$normalized$prevDelta,""" +
       s""""cold_total":$coldTotal,"cold_hot":$coldHot,""" +
       s""""sf":"$sfDir","passes":$passes,"stat":"median","artifact":"$outPath"}"""
@@ -219,6 +269,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
       s""""cpus":"$cpus","passes":$passes,"stat":"median",""" +
       s""""control":$control,"control_id":"$ControlId",""" +
+      s""""control_points":$cpts,"control_spread_pct":$spreadPct,""" +
       s""""normalized":$normalized,""" +
       s""""cold_total":$coldTotal,""" +
       s""""families":$fams,"anchors":$anchorList,"queries":$qs,"detail":$detail}"""

@@ -62,6 +62,59 @@ class BenchPrevRoundSpec extends AnyFunSuite {
     }
   }
 
+  test("suppressed when the previous record ran at a different cpu count") {
+    // the control is pinned to 32 slices: normalized totals only cancel
+    // host speed at the SAME parallelism (a cpus=8 local run vs the
+    // driver's cpus=32 wrapper printed a -70% "delta" that was pure cpus)
+    inTemp("BENCH_r13.json" -> wrapper(60.0, 1.5, 0.1)) { dir =>
+      assert(Bench.prevRoundFields(dir, "/root/testdata/sf0.1", 42.0,
+        cpus = "8") == "")
+      assert(Bench.prevRoundFields(dir, "/root/testdata/sf0.1", 42.0,
+        cpus = "32").contains("\"prev_round\":13"))
+    }
+  }
+
+  test("delta below the observed control spread is flagged as noise") {
+    inTemp("BENCH_r13.json" -> wrapper(60.0, 1.5, 0.1)) { dir =>
+      // prev normalized 40; ours 41 -> +2.5%, spread 5% -> noise
+      val got = Bench.prevRoundFields(dir, "/root/testdata/sf0.1", 41.0,
+        spreadPct = 5.0)
+      assert(got.endsWith(""","normalized_delta_pct":2.5,"delta_noise":true"""),
+        s"got: $got")
+      // same delta with a 1% spread: significant, no flag
+      val sig = Bench.prevRoundFields(dir, "/root/testdata/sf0.1", 41.0,
+        spreadPct = 1.0)
+      assert(sig.endsWith(""","normalized_delta_pct":2.5"""), s"got: $sig")
+      assert(!sig.contains("delta_noise"))
+    }
+  }
+
+  test("GRAFT_ROUND cap skips the in-flight round's own wrapper") {
+    // a post-close re-run sees BENCH_r15.json on disk; with roundCap=15 it
+    // must compare against r13, not itself (ADVICE r14)
+    inTemp(
+      "BENCH_r13.json" -> wrapper(60.0, 1.5, 0.1),
+      "BENCH_r15.json" -> wrapper(42.0, 1.0, 0.1)) { dir =>
+      val got = Bench.prevRoundFields(dir, "/root/testdata/sf0.1", 42.0,
+        roundCap = Some(15))
+      assert(got.contains("\"prev_round\":13"), s"got: $got")
+      // uncapped, the latest wrapper (r15) wins — the driver's in-round path
+      val uncapped = Bench.prevRoundFields(dir, "/root/testdata/sf0.1", 42.0)
+      assert(uncapped.contains("\"prev_round\":15"), s"got: $uncapped")
+    }
+  }
+
+  test("negative and scientific-notation wrapper values parse") {
+    // value in scientific notation (python json emits it for small/large
+    // floats); the old [0-9.]+ regex truncated these silently
+    inTemp("BENCH_r13.json" ->
+      (s"""{"n": 13, "sf": 0.1, "cpus": 32, "parsed": {"metric": "total", """ +
+       s""""value": 6e1, "control": 1.5, "unit": "sec"}}""")) { dir =>
+      val got = Bench.prevRoundFields(dir, "/root/testdata/sf0.1", 42.0)
+      assert(got.contains("\"prev_normalized\":40.0"), s"got: $got")
+    }
+  }
+
   test("silent when no record, unreadable json, or zero control") {
     inTemp() { dir =>
       assert(Bench.prevRoundFields(dir, "/root/testdata/sf0.1", 42.0) == "")

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tools.FuzzVerify
+
+/** Pins the fuzz harness's reproducibility contract (VERDICT r14 item 5):
+  * a fuzz failure is only actionable if (seed0, n) reproduces the exact
+  * instance — template choice, drawn parameters, rendered SQL.
+  */
+class FuzzVerifySpec extends AnyFunSuite {
+
+  test("instances are deterministic in (seed0, n)") {
+    val a = FuzzVerify.instances(42L, 30).map { case (n, i) => (n, i.sql) }
+    val b = FuzzVerify.instances(42L, 30).map { case (n, i) => (n, i.sql) }
+    assert(a == b)
+  }
+
+  test("different seeds draw different parameters") {
+    val a = FuzzVerify.instances(42L, 10).map(_._2.sql)
+    val c = FuzzVerify.instances(43L, 10).map(_._2.sql)
+    assert(a != c, "seed must influence drawn parameters")
+  }
+
+  test("a 50-instance run covers all templates, 5 seeds each") {
+    val names = FuzzVerify.instances(42L, 50).map(_._1)
+    val byTemplate = names.groupBy(_.take(4))
+    assert(byTemplate.size == FuzzVerify.templates.length)
+    assert(byTemplate.values.forall(_.size == 5))
+    // instance names are unique — each is a distinct output dir
+    assert(names.distinct.size == names.size)
+  }
+
+  test("every template emits SQL that names at least one base table") {
+    val tables = Seq("lineitem", "orders", "part", "customer", "documents",
+      "embeddings")
+    FuzzVerify.instances(42L, 10).foreach { case (n, i) =>
+      assert(tables.exists(i.sql.contains), s"$n sql references no table")
+    }
+  }
+}

@@ -153,8 +153,17 @@ SELECT band_idx, bucket, COUNT(*) AS c FROM banded GROUP BY 1, 2""")
     if not loaded:
         try:
             con.execute(derive_sql)
-        except (duckdb.OutOfMemoryException, duckdb.IOException,
-                duckdb.Error) as e:
+        except duckdb.Error as e:
+            # Only RESOURCE failures may downgrade to the layered edge path
+            # (ADVICE r14: catching the duckdb.Error base class let a future
+            # binder/syntax/catalog bug in derive_sql silently print PASS
+            # under fallback scope). Anything else — a genuinely broken
+            # derivation — must propagate and fail the check.
+            is_resource = isinstance(
+                e, (duckdb.OutOfMemoryException, duckdb.IOException)
+            ) or "no space left" in str(e).lower()
+            if not is_resource:
+                raise
             if not fallback_edges(f"edge derivation died on spill pressure "
                                   f"({type(e).__name__}: {e})"):
                 raise

@@ -20,3 +20,9 @@ for dir in "${dirs[@]}"; do
   if [ -n "$fails" ]; then echo "$fails"; echo "== $sf: VERIFY FAILURES"; exit 1; fi
   echo "== $sf: $(python3 tools/selfcheck.py "$dir" "$out" 2>&1 | tail -1)"
 done
+# Seeded oracle fuzz (VERDICT r14 item 5): 50 parameterized instances at
+# sf0.01 — catches tiebreak/rounding drift BETWEEN the registry's fixed
+# points. GRAFT_FUZZ_SEED varies the batch; default reproduces the pinned
+# r15 evidence run.
+echo "== fuzz: $(python3 tools/fuzz_oracle.py /root/testdata/sf0.01 50 \
+  "${GRAFT_FUZZ_SEED:-42}" 2>&1 | tail -1)"

@@ -17,6 +17,12 @@ cd "$(dirname "$0")/.."
 SF="${1:-/tmp/sf100}"; OUT="${2:-/tmp/v100wide}"; LOG="${3:-$OUT/selfcheck.log}"
 mkdir -p "$OUT"; touch "$LOG"
 
+# Scope hygiene (ADVICE r14): GRAFT_RECALL_ONLY is a widening hook for
+# check_lsh_sampled.py — leaked into a sweep it would silently skip the
+# whole precision half and the bare PASS line would record a full-scope
+# verdict. A sweep is always full-scope; drop any inherited value.
+unset GRAFT_RECALL_ONLY
+
 # Disk safety (VERDICT r13 item 2): the r13 sweep died once on
 # /tmp/duck_spill ENOSPC mid-check. Put the DuckDB spill dir on the volume
 # with the most free space (unless the caller pinned GRAFT_DUCK_TMP), and
@@ -44,8 +50,17 @@ run() { # run <name> <cmd...>
   # multi-hour checks re-ran on every resume (round-12 ADVICE).
   if grep -q "^PASS $n\b" "$LOG"; then return; fi
   echo "[sweep100] $(date +%H:%M:%S) checking $n" >&2
-  local res detail
-  res=$("$@" 2>&1 | grep -E "^(PASS|FAIL)" | tail -1 || true)
+  local out res detail scope
+  out=$("$@" 2>&1)
+  res=$(printf '%s\n' "$out" | grep -E "^(PASS|FAIL)" | tail -1 || true)
+  # Scope honesty (ADVICE r14): a downgraded-scope pass — the clusters
+  # checker's layered-fallback WARN, or a SKIPped precision half — must be
+  # visible in the log NEXT TO the verdict, not discarded, or the resume
+  # grep records it indistinguishably from a full-scope PASS forever.
+  scope=$(printf '%s\n' "$out" | grep -E "^(WARN|SKIP)" | head -3 || true)
+  if [ -n "$scope" ]; then
+    printf '%s\n' "$scope" | sed "s/^/SCOPE $n: /" | tee -a "$LOG"
+  fi
   # Normalize the logged line so the resume grep is format-independent:
   # strip the checker's own "FAIL <whatever>: " prefix only when it has
   # one; otherwise log the raw line minus the FAIL keyword (round-13
