@@ -35,7 +35,22 @@ import org.apache.spark.sql.SparkSession
 object SparkPosture {
   private val settings: Seq[(String, String)] = Seq(
     "spark.io.compression.codec" -> "zstd",
-    "spark.shuffle.file.buffer" -> "1m") ++
+    "spark.shuffle.file.buffer" -> "1m",
+    // Bypass-writer memory is tasks × reducers × file.buffer and sits
+    // OUTSIDE the memory manager — it can never spill. At the default
+    // threshold (200) a 200-partition shuffle × 32 concurrent tasks × the
+    // 1m buffer above = 6.4 GB of raw buffers, which OOM'd a 4 GiB heap in
+    // the r15 constrained-memory run (q48's pair shuffle died in
+    // BypassMergeSortShuffleWriter with ZERO prior spills — the one shuffle
+    // path that degrades by crashing). Capping the threshold at 32 keeps
+    // bypass for gate-posture shuffles (≤32 reducers, where its
+    // sort-avoidance wins and its buffer cost matches the proven 8 GiB
+    // posture) and sends anything wider to SortShuffleWriter, whose
+    // buffers are execution-memory-managed and spill instead of crashing.
+    // At cluster scale reducer counts are in the thousands, so bypass
+    // never applied there anyway — this only changes constrained/local
+    // wide-shuffle behavior from OOM to spill.
+    "spark.shuffle.sort.bypassMergeThreshold" -> "32") ++
     // Catalog-stats mode (sources.Tables.statsMode): leaf rowCounts only
     // reach the optimizer's Statistics visitor — and thus runtime
     // bloom-filter sizing — when plan stats are on; keep the flag tied to

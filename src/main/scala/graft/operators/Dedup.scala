@@ -83,6 +83,10 @@ object Dedup {
         case _: Throwable => () // context already stopped: nothing to remove
       }
     }
+    // the iterative operators' localCheckpoint blocks (final CC/PageRank/BPE
+    // iterates) live in their own session ledger — releaseCaches is the
+    // documented family-teardown entry point, so it frees those too
+    Checkpoints.release(spark)
   }
 
   /** Per-dir eviction for LONG-LIVED sessions (VERDICT r9 item 4): a
@@ -246,23 +250,34 @@ object Dedup {
     // are ~4x smaller and evict/spill cleanly; each superstep streams the
     // edges once, so deserialization cost is the right trade at every
     // size. Label checkpoints stay default — they are node-grain (small).
-    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-    var labels = sym.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint()
+    val sym = Checkpoints.tracked(
+      edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .distinct(), StorageLevel.MEMORY_AND_DISK_SER)
+    // Superseded iterates are dropped EAGERLY (Checkpoints.drop): each
+    // round's checkpoint is only read by the next round, so live checkpoint
+    // blocks stay O(1) instead of O(diameter) — the r15 concurrent-session
+    // spec caught exactly these accumulating past releaseCaches. `sym` and
+    // the FINAL iterate stay live (the returned plan reads the final
+    // iterate) under the session ledger, freed by releaseCaches.
+    var labels = Checkpoints.tracked(
+      sym.select(col("src").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id")))
+    var prevCp = labels
     var changed = 1L
     while (changed > 0) {
       val nbrMin = sym.join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-      val updated = labels
+      val updated = Checkpoints.tracked(labels
         .join(nbrMin.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"), col("label"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"))
-        .localCheckpoint()
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label")))
       changed = updated.filter(col("new_label") < col("label")).count()
+      Checkpoints.drop(prevCp)
+      prevCp = updated
       labels = updated.select(col("doc_id"), col("new_label").as("label"))
     }
+    Checkpoints.drop(sym) // only the loop reads the edge checkpoint
     labels.select(col("doc_id"), col("label").as("cluster_rep"))
   }
 

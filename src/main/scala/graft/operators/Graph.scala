@@ -64,8 +64,13 @@ object Graph {
         lit(Scale / nNodes).as("r_scaled"))
       for (_ <- 0 until iters) {
         // localCheckpoint truncates the growing lineage (same device as the
-        // q48 label-propagation loop); each superstep is one shuffle
-        r = step(es, outdeg, r, nNodes).localCheckpoint()
+        // q48 label-propagation loop); each superstep is one shuffle. The
+        // tracked/drop pair keeps live checkpoint blocks O(1) across the
+        // loop and lets releaseCaches free the final iterate (r15: bare
+        // localCheckpoint blocks outlive every teardown).
+        val next = Checkpoints.tracked(step(es, outdeg, r, nNodes))
+        Checkpoints.drop(r)
+        r = next
       }
       r
     } finally es.unpersist(blocking = false)

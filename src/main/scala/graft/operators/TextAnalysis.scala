@@ -807,7 +807,10 @@ object TextAnalysis {
   private[graft] def bpeTrainFrom(init: DataFrame, merges: Int,
       maxBatch: Int): (Seq[(String, String, Long)], Int) = {
     require(maxBatch >= 1, "maxBatch must be >= 1")
-    var cur = init.localCheckpoint()
+    // tracked/drop (not bare localCheckpoint + Dataset.unpersist: the
+    // latter is a silent no-op on checkpointed plans — no CacheManager
+    // entry — so every batch's blocks leaked until session end, r15)
+    var cur = graft.operators.Checkpoints.tracked(init)
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var steps = 0
     var exhausted = false
@@ -839,15 +842,14 @@ object TextAnalysis {
           m -= 1
         val batch = cands.take(m)
         out ++= batch
-        val next = cur.select(
+        val next = graft.operators.Checkpoints.tracked(cur.select(
           batch.foldLeft(col("syms")) { case (c, (l, r, _)) => applyMerge(c, l, r) }
-            .as("syms"), col("freq"))
-          .localCheckpoint()
-        cur.unpersist()
+            .as("syms"), col("freq")))
+        graft.operators.Checkpoints.drop(cur)
         cur = next
       }
     }
-    cur.unpersist()
+    graft.operators.Checkpoints.drop(cur)
     (out.toSeq, steps)
   }
 

@@ -102,16 +102,22 @@ object StreamScaleBench {
     // recorded — simulating a crash mid-batch) and a second attempt resumes
     // from the same checkpoint. Returns (per-batchId output counts, every
     // progress record with input rows, wall seconds, attempts).
+    // AttemptTrace: wall seconds, start()→first-committed-batch latency
+    // (query restart cost: offset-log read + source-log replay + dir
+    // listing + plan re-init), and that attempt's progress records.
+    final case class AttemptTrace(wall: Double, startupS: Double,
+        progs: Array[org.apache.spark.sql.streaming.StreamingQueryProgress])
     def replay(ckptDir: String, countSink: Boolean, kill: Option[Long]):
         (Map[Long, Long],
          Array[org.apache.spark.sql.streaming.StreamingQueryProgress],
-         Double, Int) = {
+         Double, Seq[AttemptTrace]) = {
       val counts = scala.collection.concurrent.TrieMap.empty[Long, Long]
       val armed = new java.util.concurrent.atomic.AtomicReference(kill)
-      val progs = scala.collection.mutable.ArrayBuffer
-        .empty[org.apache.spark.sql.streaming.StreamingQueryProgress]
+      val traces = scala.collection.mutable.ArrayBuffer.empty[AttemptTrace]
       val t0 = System.nanoTime()
       def attempt(): Option[Throwable] = {
+        val firstBatchNs = new java.util.concurrent.atomic.AtomicLong(-1L)
+        val a0 = System.nanoTime()
         val writer = Events.streamingConversions(spark, feed, joinType,
             Map("maxFilesPerTrigger" -> "1"))
           .writeStream.outputMode("append")
@@ -127,46 +133,111 @@ object StreamScaleBench {
                 throw new RuntimeException(
                   s"[stream-scale] injected kill at batch $id")
               counts(id) = df.count()
+              firstBatchNs.compareAndSet(-1L, System.nanoTime())
+              ()
           }.start()
         val err = try { started.awaitTermination(); None }
           catch { case e: Throwable => Some(e) }
-        progs ++= started.recentProgress.filter(_.numInputRows > 0)
+        val wall = (System.nanoTime() - a0) / 1e9
+        val startup = firstBatchNs.get() match {
+          case -1L => wall
+          case t   => (t - a0) / 1e9
+        }
+        traces += AttemptTrace(wall, startup,
+          started.recentProgress.filter(_.numInputRows > 0))
         err
       }
-      var attempts = 1
       val firstErr = attempt()
       if (kill.isDefined) {
         require(firstErr.isDefined,
           s"armed kill at batch ${kill.get} must terminate the first attempt")
         println(s"[stream-scale] killed at batch ${kill.get} " +
           s"(${counts.size} batches committed); resuming from checkpoint")
-        attempts = 2
         val secondErr = attempt()
         require(secondErr.isEmpty,
           s"resumed attempt must complete: ${secondErr.map(_.getMessage)}")
       } else require(firstErr.isEmpty,
         s"uninterrupted replay failed: ${firstErr.map(_.getMessage)}")
-      (counts.toMap, progs.toArray, (System.nanoTime() - t0) / 1e9, attempts)
+      (counts.toMap, traces.toArray.flatMap(_.progs),
+        (System.nanoTime() - t0) / 1e9, traces.toSeq)
     }
 
     killAt.foreach { k =>
       // killed+resumed replay vs a straight replay of the SAME feed: the
-      // per-batchId output maps must match exactly (retries collapse by id)
-      val (killed, _, killWall, attempts) =
-        replay(s"$workDir/ckpt_kill", countSink = true, Some(k))
-      // straight run: same counting sink, nothing armed
-      val (straight, _, straightWall, _) =
+      // per-batchId output maps must match exactly (retries collapse by id).
+      // An UNTIMED warmup replay runs first so both timed replays are
+      // warm: measured cold-first, 45 s of the 67 s "overhead" was JIT/
+      // footer warmup on the killed run's first leg; measured warm-vs-cold
+      // the sign flipped (-26 s). Only warm-vs-warm isolates recovery.
+      println(s"[stream-scale] untimed warmup replay (JIT/codegen/state-store paths)")
+      replay(s"$workDir/ckpt_warm", countSink = true, None)
+      val (straight, straightProgs, straightWall, straightTraces) =
         replay(s"$workDir/ckpt_straight", countSink = true, None)
+      val (killed, _, killWall, traces) =
+        replay(s"$workDir/ckpt_kill", countSink = true, Some(k))
       val diff = (killed.keySet ++ straight.keySet).toSeq.sorted
         .filter(id => killed.get(id) != straight.get(id))
       val (tk, ts) = (killed.values.sum, straight.values.sum)
       val kv = if (tk == ts && diff.isEmpty) "PASS" else "FAIL"
       println(f"[stream-scale] $kv kill-and-resume: killed_at=$k " +
-        f"attempts=$attempts resumed_total=$tk straight_total=$ts " +
+        f"attempts=${traces.size} resumed_total=$tk straight_total=$ts " +
         f"batch_diffs=${diff.size} batches=${straight.size} " +
         f"wall_resumed=$killWall%.1f wall_straight=$straightWall%.1f")
       diff.take(5).foreach(id => println(
         s"[stream-scale]   batch $id: resumed=${killed.get(id)} straight=${straight.get(id)}"))
+
+      // ---- recovery-cost attribution (VERDICT r14 item 4) --------------
+      // Exact decomposition of overhead = wall_resumed − wall_straight.
+      // Per-attempt wall = setup (start()→first commit MINUS that batch's
+      // own triggerExecution) + Σ batch triggerExecution + tail, so:
+      //   setup_delta   (a1_setup + a2_setup) − straight_setup: the crash
+      //                 pays query initialization TWICE; a2_setup is the
+      //                 RESTART cost proper — offset/commit-log read,
+      //                 source file-log replay + feed re-listing, plan
+      //                 re-init, state-store delta reload
+      //   prekill_drag  Σ_{id<k} (killed − straight) triggerExecution:
+      //                 same work, warm-vs-warm — should be ≈ noise
+      //   rerun_delta   batch k's committed re-execution vs straight's:
+      //                 the RE-run itself isn't overhead (straight ran it
+      //                 once, killed commits it once) — only its delta is
+      //   postkill_drag Σ_{id>k} (resumed − straight): post-restart drag
+      //                 (state-store cache refill) decaying to 0
+      //   residual      the truly lost costs no progress record carries:
+      //                 batch k's mid-flight partial work thrown away,
+      //                 failure detection + query teardown, trigger slack
+      def trigMs(p: org.apache.spark.sql.streaming.StreamingQueryProgress) =
+        Option(p.durationMs.get("triggerExecution")).map(_.toDouble / 1000)
+          .getOrElse(0.0)
+      for (a2 <- traces.lift(1)) {
+        val a1 = traces.head
+        val str = straightTraces.head
+        def byBatch(ps: Array[org.apache.spark.sql.streaming.StreamingQueryProgress]) =
+          ps.map(p => p.batchId -> trigMs(p)).toMap
+        val (t1, t2, ts2) = (byBatch(a1.progs), byBatch(a2.progs), byBatch(str.progs))
+        def setup(startupS: Double, t: Map[Long, Double]): Double =
+          if (t.isEmpty) startupS else startupS - t(t.keys.min)
+        val a2Setup = setup(a2.startupS, t2) // restart cost proper
+        val setupDelta = setup(a1.startupS, t1) + a2Setup - setup(str.startupS, ts2)
+        def drag(a: Map[Long, Double], pred: Long => Boolean) = a.collect {
+          case (id, s) if pred(id) && ts2.contains(id) => s - ts2(id) }.sum
+        val prekill = drag(t1, _ < k)
+        val rerunDelta = t2.getOrElse(k, 0.0) - ts2.getOrElse(k, 0.0)
+        val postkill = drag(t2, _ > k)
+        val overhead = killWall - straightWall
+        val accounted = setupDelta + prekill + rerunDelta + postkill
+        println(f"[stream-scale] recovery attribution: overhead=$overhead%.1f s " +
+          f"= setup_delta=$setupDelta%.1f (2nd query init; restart proper " +
+          f"a2_setup=$a2Setup%.1f: ckpt/source-log replay + state reload) " +
+          f"+ prekill_drag=$prekill%.1f + rerun_delta=$rerunDelta%.1f " +
+          f"+ postkill_drag=$postkill%.1f (over ${t2.count(_._1 > k)} batches) " +
+          f"+ residual=${overhead - accounted}%.1f (lost mid-flight work of " +
+          f"batch $k + failure detection/teardown + trigger slack)")
+        println(f"[stream-scale] recovery model: per-batch checkpoint cadence " +
+          f"bounds lost work to ONE batch: expected recovery wall ~= restart " +
+          f"(a2_setup=$a2Setup%.1f s, corpus-size-independent log replay + " +
+          f"state reload) + the killed batch (${t2.getOrElse(k, 0.0)}%.1f s) " +
+          f"+ transient drag; a cadence of C batches re-runs up to C batches")
+      }
       if (kv == "FAIL") { spark.stop(); sys.exit(1) }
       spark.stop(); sys.exit(0)
     }
