@@ -18,7 +18,24 @@ for dir in "${dirs[@]}"; do
   fails=$(SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8} bash tools/run.sh graft.Verify \
     "$dir" "$out" 2>&1 | grep -E "\[verify\].*failed" || true)
   if [ -n "$fails" ]; then echo "$fails"; echo "== $sf: VERIFY FAILURES"; exit 1; fi
-  echo "== $sf: $(python3 tools/selfcheck.py "$dir" "$out" 2>&1 | tail -1)"
+  res=$(python3 tools/selfcheck.py "$dir" "$out" 2>&1)
+  summary=$(echo "$res" | tail -1)
+  # Oracle-resource re-adjudication (r15): q111's recursive reachability
+  # CTE is quadratic in component size — at sf>=1 percolation it exhausts
+  # any bounded DuckDB budget while the Spark dump is fine (the sf1
+  # constrained run hit exactly this). When q111-oracle-OOM is the ONLY
+  # fail, re-check it through the linear label-prop checker (the designed
+  # tool for percolated components at sf>=10) and report its verdict.
+  if echo "$res" | grep -q "^FAIL q111_embedding_clusters: oracle error: Out of Memory" \
+     && [ "$(echo "$res" | grep -c '^FAIL')" -eq 1 ]; then
+    if python3 tools/check_clusters_scaled.py "$dir" "$out" 2>&1 \
+         | grep -q "^PASS q111_embedding_clusters"; then
+      summary="$summary -> q111 oracle OOM re-adjudicated PASS via label-prop checker (0 real fails)"
+    else
+      summary="$summary -> q111 label-prop re-check ALSO FAILED"
+    fi
+  fi
+  echo "== $sf: $summary"
 done
 # Seeded oracle fuzz (VERDICT r14 item 5): 50 parameterized instances at
 # sf0.01 — catches tiebreak/rounding drift BETWEEN the registry's fixed
