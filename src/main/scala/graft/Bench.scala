@@ -60,6 +60,8 @@ object Bench {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     try {
+      System.gc() // same hygiene as the query loop: don't charge the
+                  // calibration with the previous workload's garbage
       def once(): Double = {
         val t0 = System.nanoTime()
         spark.range(0L, 30000000L, 1L, 32)
@@ -98,9 +100,14 @@ object Bench {
     * disk IS the previous round.
     *
     * `spreadPct` (VERDICT r14 item 2): the same-binary control spread
-    * observed this run — a |delta| below it is indistinguishable from
-    * host-speed wobble, so the fields gain `"delta_noise":true` instead of
-    * letting a judge read signal into noise.
+    * observed this run. A round-over-round delta divides by TWO control
+    * measurements, so its noise floor is this run's spread PLUS the
+    * previous run's (read from the wrapper's control_spread_pct; wrappers
+    * predating the field are assumed as noisy as this run — measured:
+    * two back-to-back same-binary runs on one box normalized to 33.1 and
+    * 38.1 purely on denominator wobble). |delta| below that floor gains
+    * `"delta_noise":true` instead of letting a judge read signal into
+    * noise.
     */
   private[graft] def prevRoundFields(cwd: java.nio.file.Path, sfDir: String,
       normalized: Double, spreadPct: Double = 0.0,
@@ -131,7 +138,8 @@ object Bench {
             if pc > 0 && sameSf && sameCpus } yield {
         val pn = pv / pc
         val delta = r4((normalized / pn - 1) * 100)
-        val noise = if (math.abs(delta) < spreadPct) ""","delta_noise":true"""
+        val floor = spreadPct + num("control_spread_pct").getOrElse(spreadPct)
+        val noise = if (math.abs(delta) < floor) ""","delta_noise":true"""
                     else ""
         s""","prev_round":$rn,"prev_normalized":${r4(pn)}""" +
           s""","normalized_delta_pct":$delta$noise"""

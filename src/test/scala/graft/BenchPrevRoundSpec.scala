@@ -74,18 +74,28 @@ class BenchPrevRoundSpec extends AnyFunSuite {
     }
   }
 
-  test("delta below the observed control spread is flagged as noise") {
+  test("delta below the two-run control-spread floor is flagged as noise") {
     inTemp("BENCH_r13.json" -> wrapper(60.0, 1.5, 0.1)) { dir =>
-      // prev normalized 40; ours 41 -> +2.5%, spread 5% -> noise
+      // prev normalized 40; ours 41 -> +2.5%. Wrapper has no recorded
+      // spread, so the floor doubles this run's: spread 5% -> floor 10%
       val got = Bench.prevRoundFields(dir, "/root/testdata/sf0.1", 41.0,
         spreadPct = 5.0)
       assert(got.endsWith(""","normalized_delta_pct":2.5,"delta_noise":true"""),
         s"got: $got")
-      // same delta with a 1% spread: significant, no flag
+      // spread 1% -> floor 2% < 2.5%: significant, no flag
       val sig = Bench.prevRoundFields(dir, "/root/testdata/sf0.1", 41.0,
         spreadPct = 1.0)
       assert(sig.endsWith(""","normalized_delta_pct":2.5"""), s"got: $sig")
       assert(!sig.contains("delta_noise"))
+    }
+    // a wrapper that RECORDS its spread contributes it to the floor:
+    // this spread 1% + prev 2% = 3% > 2.5% -> noise
+    inTemp("BENCH_r13.json" ->
+      (s"""{"n": 13, "sf": 0.1, "cpus": 32, "parsed": {"metric": "total", """ +
+       s""""value": 60.0, "control": 1.5, "control_spread_pct": 2.0}}""")) { dir =>
+      val got = Bench.prevRoundFields(dir, "/root/testdata/sf0.1", 41.0,
+        spreadPct = 1.0)
+      assert(got.contains("\"delta_noise\":true"), s"got: $got")
     }
   }
 
