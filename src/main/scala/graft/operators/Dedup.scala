@@ -283,7 +283,7 @@ object Dedup {
 
   /** Shared SQL generator so q31 and q48 embed the identical Jaccard-pair
     * oracle at their respective thresholds. */
-  private[operators] def jaccardPairsOracle(threshold: Double): String =
+  private[graft] def jaccardPairsOracle(threshold: Double): String =
     raw"""toks AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
        |sh AS (

@@ -381,7 +381,7 @@ object SimilaritySearch {
     * q110 and q111 — everything through `scored` (vec_a, vec_b, cosine ≥
     * threshold), mirroring lshPairs' splitmix Rademacher planes as SQL
     * literals. Prefix with WITH [RECURSIVE] at the call site. */
-  private def lshPairsOracleCte(threshold: Double): String = {
+  private[graft] def lshPairsOracleCte(threshold: Double): String = {
     val planes = radPlanes(64)
     def bandSql(b: Int) = (0 until 8).map { i =>
       s"(CASE WHEN list_dot_product(emb, ${arraySql(planes(b * 8 + i))}) > 0 THEN ${1 << i} ELSE 0 END)"

@@ -319,9 +319,41 @@ object FuzzVerify {
          |WHERE rank <= $k""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- t11
+  /** Dedup-family threshold class (q31): the exact n-gram Jaccard pair
+    * relation cut at a drawn threshold — the boundary where a pair's
+    * common/(na+nb-common) ratio meets the literal must agree between
+    * engines at every cut, not just the registry's pinned 0.1/0.5. */
+  private def tJaccardThresh(r: Random): Inst = {
+    val t = (2 + r.nextInt(9)) * 0.05 // 0.10 .. 0.50, exact-twentieth grid
+    Inst("jaccard_thresh",
+      (s, dir) => graft.operators.Dedup.jaccardPairs(s, dir)
+        .filter(col("jaccard") >= t)
+        .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard")),
+      s"""WITH ${graft.operators.Dedup.jaccardPairsOracle(t)}
+         |SELECT doc_a, doc_b, common, jaccard FROM pairs""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- t12
+  /** ANN-production threshold class (q110): the (8 bands × 8 bits)
+    * LSH-bucketed cosine pair relation at a drawn threshold — candidate
+    * generation is threshold-independent, so this sweeps the verify
+    * filter's boundary against the mirrored-plane oracle. */
+  private def tLshThresh(r: Random): Inst = {
+    // 0.30 .. 0.50: the synthetic table has no pairs above ~0.6, so higher
+    // draws would fuzz an empty relation (the q74 trap)
+    val t = (6 + r.nextInt(5)) * 0.05
+    Inst("lsh_thresh",
+      (s, dir) => graft.operators.SimilaritySearch
+        .lshPairs(s, dir, bands = 8, bitsPerBand = 8, threshold = t),
+      s"""WITH ${graft.operators.SimilaritySearch.lshPairsOracleCte(t)}
+         |SELECT vec_a, vec_b, cosine FROM scored""".stripMargin)
+  }
+
   val templates: Seq[Random => Inst] = Seq(
     tRangeRev, tFlagAgg, tBrandTopK, tNationWindow, tTopOrders,
-    tCustSeq, tTokStats, tQualGate, tQtyHist, tCosTopK)
+    tCustSeq, tTokStats, tQualGate, tQtyHist, tCosTopK,
+    tJaccardThresh, tLshThresh)
 
   /** Deterministic instance list: instance i uses template i%10 and RNG
     * seed seed0+i — (seed0, n) fully reproduce a run. */
@@ -356,6 +388,7 @@ object FuzzVerify {
         System.err.println(s"[fuzz] $name failed: ${e.getMessage}")
       }
     }
+    graft.operators.Dedup.releaseCaches(spark) // jaccard templates memoize
     val json = insts
       .map { case (name, inst) => s"${Verify.jsonStr(name)}: ${Verify.jsonStr(inst.sql)}" }
       .mkString("{", ",", "}")

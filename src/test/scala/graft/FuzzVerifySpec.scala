@@ -22,11 +22,12 @@ class FuzzVerifySpec extends AnyFunSuite {
     assert(a != c, "seed must influence drawn parameters")
   }
 
-  test("a 50-instance run covers all templates, 5 seeds each") {
+  test("a 50-instance run covers all templates near-evenly") {
     val names = FuzzVerify.instances(42L, 50).map(_._1)
     val byTemplate = names.groupBy(_.take(4))
     assert(byTemplate.size == FuzzVerify.templates.length)
-    assert(byTemplate.values.forall(_.size == 5))
+    val sizes = byTemplate.values.map(_.size)
+    assert(sizes.max - sizes.min <= 1, s"uneven round-robin: $byTemplate")
     // instance names are unique — each is a distinct output dir
     assert(names.distinct.size == names.size)
   }

@@ -12,7 +12,7 @@ the run even if every compare "passed".
 Usage: python3 tools/fuzz_oracle.py [sfDir] [n] [seed0] [outDir]
 Reproduce one instance: same seed0/n land on the same (template, params).
 """
-import glob
+import json
 import os
 import subprocess
 import sys
@@ -37,16 +37,17 @@ if rc != 0:
 rc = subprocess.call(
     [sys.executable, f"{root}/tools/selfcheck.py", sf_dir, out_dir])
 
-# non-triviality floor: count empty spark results
+# non-triviality floor: count empty spark results — over THIS batch's
+# instance names (oracle_sql.json), never stale dirs from a previous run
+names = sorted(json.load(open(f"{out_dir}/oracle_sql.json")))
 con = duckdb.connect()
 empty = []
-for d in sorted(glob.glob(f"{out_dir}/fz*")):
-    name = os.path.basename(d)
-    rows = con.execute(
-        f"SELECT COUNT(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
+for name in names:
+    rows = con.execute(f"SELECT COUNT(*) FROM "
+                       f"read_parquet('{out_dir}/{name}/*.parquet')").fetchone()[0]
     if rows == 0:
         empty.append(name)
-total = len(glob.glob(f"{out_dir}/fz*"))
+total = len(names)
 if empty:
     print(f"[fuzz] {len(empty)}/{total} instances returned ZERO rows: "
           f"{', '.join(empty[:8])}")
