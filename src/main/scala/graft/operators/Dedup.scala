@@ -43,6 +43,27 @@ object Dedup {
     * reference here prevents that). `releaseCaches` frees everything for a
     * session — wired into Bench, Verify, and the dedup specs' teardown so
     * persisted blocks never outlive the batch that needed them. */
+  /** Storage level for memoized dedup intermediates. Deserialized reuse
+    * (MEMORY_AND_DISK) is fastest when the heap is roomy — but deserialized
+    * block sizes are SizeEstimator ESTIMATES, and under a tight heap the
+    * underestimation lets the store overfill physical heap before eviction
+    * kicks in: the r15 2 GiB full-registry run died of raw
+    * OutOfMemoryError in q48 with every family memo warm, while q48 ALONE
+    * at 2 GiB passed. Serialized blocks are byte-exact accounted and ~4×
+    * smaller (the same finding that moved the CC edge checkpoint to SER at
+    * sf100, r12), so small heaps trade per-reuse deserialization CPU for
+    * survival. Auto: SER below a 6 GiB max heap; `GRAFT_MEMO_SER`=1/0
+    * forces either side for probes. */
+  private[operators] val memoLevel: StorageLevel =
+    sys.env.get("GRAFT_MEMO_SER") match {
+      case Some("1") => StorageLevel.MEMORY_AND_DISK_SER
+      case Some("0") => StorageLevel.MEMORY_AND_DISK
+      case _ =>
+        if (Runtime.getRuntime.maxMemory < 6L << 30)
+          StorageLevel.MEMORY_AND_DISK_SER
+        else StorageLevel.MEMORY_AND_DISK
+    }
+
   private val memoCache = TrieMap.empty[(SparkSession, String, String), DataFrame]
   private val hookedSessions =
     TrieMap.empty[SparkSession, org.apache.spark.scheduler.SparkListener]
@@ -145,7 +166,7 @@ object Dedup {
           graft.expressions.Md5Prefix.of(col("shingle").cast("binary"), 15)
             .as("x60"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(memoLevel)
     }
 
   /** The shared toks→shingles→exploded oracle CTE prefix mirrored by every
@@ -232,7 +253,7 @@ object Dedup {
         .filter(col("jaccard") >= minJaccard)
         .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
           col("common"), col("jaccard"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(memoLevel)
     }
 
   /** Min-label connected components over an undirected edge list — the
@@ -316,7 +337,7 @@ object Dedup {
     memo(spark, dir, "clusters05") {
       val edges = jaccardPairs(spark, dir).filter(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"))
-      connectedComponents(edges).persist(StorageLevel.MEMORY_AND_DISK)
+      connectedComponents(edges).persist(memoLevel)
     }
 
   /** q48 — near-dup clustering: Jaccard ≥ 0.5 pairs → connected components
@@ -439,7 +460,7 @@ object Dedup {
         min((xm * minHashA(0) + minHashB(0)) % MinHashP).as("mh0"),
         (1 until LshNumHashes).map(i =>
           min((xm * minHashA(i) + minHashB(i)) % MinHashP).as(s"mh$i")): _*)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(memoLevel)
     }
 
   /** LSH candidate pairs: 4 bands × 4 rows; docs sharing any band hash
@@ -487,7 +508,7 @@ object Dedup {
         .withColumn("jaccard",
           col("common").cast("double") / (col("na") + col("nb") - col("common")))
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(memoLevel)
     }
 
   val q32MinHashLsh: Q = Q(
@@ -560,7 +581,7 @@ object Dedup {
       votes.select(col("doc_id"),
         (0 until bits).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
-        .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the band join
+        .persist(memoLevel) // both sides of the band join
     }
 
   /** Banded SimHash pair search: pigeonhole-complete for hamming ≤
@@ -789,7 +810,7 @@ object Dedup {
       val edges = lshVerified(s, dir).filter(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"))
       val labels = memo(s, dir, "lshClusters05") {
-        connectedComponents(edges).persist(StorageLevel.MEMORY_AND_DISK)
+        connectedComponents(edges).persist(memoLevel)
       }
       val labeled = qualityScores(s, dir).join(labels, Seq("doc_id"), "left")
         .withColumn("cluster_rep", coalesce(col("cluster_rep"), col("doc_id")))

@@ -476,7 +476,7 @@ object SimilaritySearch {
       // must reuse one materialization (released with Dedup.releaseCaches)
       val labels = Dedup.memo(s, dir, "embClusters035") {
         clusterLabels(s, dir, bands = 8, bitsPerBand = 8, threshold = 0.35)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persist(Dedup.memoLevel)
       }
       withClusterSizes(labels)
     },
