@@ -113,12 +113,17 @@ object Bench {
       normalized: Double, spreadPct: Double = 0.0,
       roundCap: Option[Int] = None, cpus: String = "32"): String = {
     val rx = "BENCH_r(\\d+)\\.json".r
-    val prev = Option(cwd.toFile.listFiles()).getOrElse(Array.empty)
+    // Latest-first over ALL candidate wrappers, taking the first that
+    // yields comparable fields: a wrapper from a round whose build broke
+    // (rc != 0, no "value" — r15's compile failure) must not silently
+    // erase the delta; fall through to the next-latest good one so r16
+    // still carries a real prev_round vs r14 (ADVICE r15 item 4).
+    val candidates = Option(cwd.toFile.listFiles()).getOrElse(Array.empty)
       .flatMap(f => f.getName match {
         case rx(n) => Some((n.toInt, f)); case _ => None
       }).filter { case (n, _) => roundCap.forall(n < _) }
-      .sortBy(-_._1).headOption
-    prev.flatMap { case (rn, f) =>
+      .sortBy(-_._1)
+    candidates.iterator.flatMap { case (rn, f) =>
       val txt = try new String(java.nio.file.Files.readAllBytes(f.toPath),
         java.nio.charset.StandardCharsets.UTF_8) catch { case _: Throwable => "" }
       def num(k: String): Option[Double] =
@@ -134,8 +139,9 @@ object Bench {
       // incomparable.
       val sameCpus = num("cpus").exists(pc =>
         cpus.toDoubleOption.contains(pc))
+      val rcOk = num("rc").forall(_ == 0.0)
       for { pv <- num("value"); pc <- num("control")
-            if pc > 0 && sameSf && sameCpus } yield {
+            if rcOk && pc > 0 && sameSf && sameCpus } yield {
         val pn = pv / pc
         val delta = r4((normalized / pn - 1) * 100)
         val floor = spreadPct + num("control_spread_pct").getOrElse(spreadPct)
@@ -144,7 +150,7 @@ object Bench {
         s""","prev_round":$rn,"prev_normalized":${r4(pn)}""" +
           s""","normalized_delta_pct":$delta$noise"""
       }
-    }.getOrElse("")
+    }.nextOption().getOrElse("")
   }
 
   def main(args: Array[String]): Unit = {

@@ -114,6 +114,33 @@ class BenchPrevRoundSpec extends AnyFunSuite {
     }
   }
 
+  test("broken latest wrapper (rc!=0 / no value) falls through to next-latest") {
+    // r15 shipped a wrapper with rc:1 and only a compile-error tail — no
+    // parsed value at all. The delta must not vanish for a round: skip
+    // any non-comparable wrapper and compare against the newest GOOD one
+    // (ADVICE r15 item 4: r16's contract line must show prev_round:14).
+    val broken15 =
+      """{"n": 15, "rc": 1, "cpus": 32, "sf": 0.1, """ +
+        """"tail": "[error] Dedup.scala:62: value << is not a member of Boolean"}"""
+    inTemp(
+      "BENCH_r14.json" -> wrapper(60.0, 1.5, 0.1),
+      "BENCH_r15.json" -> broken15) { dir =>
+      val got = Bench.prevRoundFields(dir, "/root/testdata/sf0.1", 42.0)
+      assert(got.contains("\"prev_round\":14"), s"got: $got")
+    }
+    // rc:1 even WITH a stale parsed value must be skipped — a failed run's
+    // numbers are not a baseline
+    val rcOneWithValue =
+      s"""{"n": 15, "rc": 1, "cpus": 32, "sf": 0.1, """ +
+        s""""parsed": {"metric": "total", "value": 60.0, "control": 1.5}}"""
+    inTemp(
+      "BENCH_r14.json" -> wrapper(80.0, 2.0, 0.1),
+      "BENCH_r15.json" -> rcOneWithValue) { dir =>
+      val got = Bench.prevRoundFields(dir, "/root/testdata/sf0.1", 42.0)
+      assert(got.contains("\"prev_round\":14"), s"got: $got")
+    }
+  }
+
   test("negative and scientific-notation wrapper values parse") {
     // value in scientific notation (python json emits it for small/large
     // floats); the old [0-9.]+ regex truncated these silently
