@@ -17,6 +17,13 @@
 #    voids the certification (re-run the gate).
 set -euo pipefail
 cd "$(dirname "$0")/.."
+# Self-install the compile-checking pre-commit hook (VERDICT r15 item 2):
+# every gate run re-asserts it so a fresh clone or a pruned .git/hooks
+# cannot drift back to hookless commits.
+if [ -d .git/hooks ] && [ ! -e .git/hooks/pre-commit ]; then
+  ln -sf ../../tools/pre-commit .git/hooks/pre-commit
+  echo "gate: installed tools/pre-commit -> .git/hooks/pre-commit"
+fi
 if [ -f ADVICE.md ]; then
   missing=$(awk '
     /^- \*\*/ { if (inb && !has) print start; inb = 1; has = 0; start = NR; next }
