@@ -13,6 +13,14 @@ import org.apache.spark.sql.SparkSession
   * counters return to the pre-cycle baseline every cycle and used heap
   * stays bounded (no monotone growth).
   *
+  * r16 (ADVICE r15 item 6): each cycle now also exercises the reference's
+  * FULL serve loop, not just the query family — a `publishServing` push of
+  * the lake tables to an embedded Derby serving DB (main.py:55-62's
+  * if_exists='replace' semantics, so repeated cycles are idempotent) and a
+  * Structured Streaming micro-batch (streamingTumbling → memory sink →
+  * processAllAvailable → stop), whose state store + sink table must not
+  * outlive the cycle either.
+  *
   * Usage: tools/run.sh graft.tools.SessionSoak [sfDir] [rounds=5]
   */
 object SessionSoak {
@@ -26,6 +34,23 @@ object SessionSoak {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     root.sparkContext.setLogLevel("ERROR")
+
+    // --- serve-loop fixtures (built once; per-cycle work reads them) ---
+    // Lake tables for publishServing: small real derivatives of the sf
+    // data, named the way the pipeline names them so the publish call is
+    // the production entry point verbatim.
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val lakeDir = java.nio.file.Files.createTempDirectory("soak-lake").toString
+    val servingUrl = "jdbc:derby:memory:graftsoak;create=true"
+    graft.sources.Tables(root, sfDir, "nation")
+      .write.mode("overwrite").parquet(s"$lakeDir/dim_locations.parquet")
+    graft.sources.Tables(root, sfDir, "orders").limit(2000)
+      .write.mode("overwrite").parquet(s"$lakeDir/master_table.parquet")
+    // Streaming source dir: the sf events table re-laid-out as a directory
+    // the file stream source can list.
+    val streamDir = java.nio.file.Files.createTempDirectory("soak-stream").toString
+    graft.sources.Tables(root, sfDir, "events").limit(5000)
+      .write.mode("overwrite").parquet(streamDir)
 
     val family = Seq(
       graft.operators.Dedup.q30ExactDedup, graft.operators.Dedup.q31NgramJaccard,
@@ -49,6 +74,20 @@ object SessionSoak {
     for (r <- 1 to rounds) {
       val s = root.newSession()
       val rows = family.map(q => q.run(s, sfDir).count()).sum
+      // serve loop 1/2: publish the lake to the embedded serving DB —
+      // overwrite mode means every cycle replaces, like the reference
+      graft.pipeline.OlistPipeline.publishServing(s, lakeDir, servingUrl)
+      val served = graft.sources.Tables.jdbc(s, servingUrl, "dim_locations").count()
+      // serve loop 2/2: one streaming micro-batch drain; the memory sink
+      // table and the query's state store are per-cycle resources that
+      // must be torn down with the cycle
+      val qn = s"soak_tumbling_$r"
+      val sq = graft.streaming.Events.streamingTumbling(s, streamDir)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      sq.processAllAvailable()
+      val streamed = s.table(qn).count()
+      sq.stop(); s.catalog.dropTempView(qn)
       graft.operators.Dedup.releaseCaches(s)
       // releaseCaches unpersists async — give the block manager a moment
       var blocks = root.sparkContext.getPersistentRDDs.size
@@ -62,9 +101,11 @@ object SessionSoak {
       if (r == 1) firstCycleHeap = heap
       val ok = blocks == baseBlocks && ckpts == 0 && memos == 0
       if (!ok) failed = true
-      println(s"[soak] cycle $r: rows=$rows persisted_rdds=$blocks " +
-        s"tracked_ckpts=$ckpts memo_keys=$memos heap_mb=$heap " +
-        (if (ok) "clean" else "LEAK"))
+      println(s"[soak] cycle $r: rows=$rows served=$served streamed=$streamed " +
+        s"persisted_rdds=$blocks tracked_ckpts=$ckpts memo_keys=$memos " +
+        s"heap_mb=$heap " + (if (ok) "clean" else "LEAK"))
+      if (served == 0 || streamed == 0) { failed = true
+        println(s"[soak] cycle $r: FAIL — serve loop returned no rows") }
     }
     val endHeap = usedHeapMb()
     // bounded-heap check: allow 50% headroom over the first post-cycle
