@@ -99,13 +99,17 @@ object SessionSoak {
       val memos = graft.operators.Dedup.memoKeysFor(s).size
       val heap = usedHeapMb()
       if (r == 1) firstCycleHeap = heap
-      val ok = blocks == baseBlocks && ckpts == 0 && memos == 0
+      // ADVICE r16 item 5: the serve-loop row check is part of `ok` BEFORE
+      // the cycle line prints — a served==0/streamed==0 cycle must never
+      // read "clean" in the log with the FAIL trailing it.
+      val serveOk = served > 0 && streamed > 0
+      val ok = blocks == baseBlocks && ckpts == 0 && memos == 0 && serveOk
       if (!ok) failed = true
       println(s"[soak] cycle $r: rows=$rows served=$served streamed=$streamed " +
         s"persisted_rdds=$blocks tracked_ckpts=$ckpts memo_keys=$memos " +
-        s"heap_mb=$heap " + (if (ok) "clean" else "LEAK"))
-      if (served == 0 || streamed == 0) { failed = true
-        println(s"[soak] cycle $r: FAIL — serve loop returned no rows") }
+        s"heap_mb=$heap " +
+        (if (ok) "clean" else if (!serveOk) "FAIL (serve loop returned no rows)"
+         else "LEAK"))
     }
     val endHeap = usedHeapMb()
     // bounded-heap check: allow 50% headroom over the first post-cycle
@@ -116,6 +120,20 @@ object SessionSoak {
       s"rounds=$rounds final_heap_mb=$endHeap first_cycle_heap_mb=$firstCycleHeap " +
       s"(bound ${firstCycleHeap * 3 / 2 + 256})")
     root.stop()
+    // ADVICE r16 item 5 (tidiness): drop the in-memory Derby DB and the
+    // temp fixture dirs — a soak leaves nothing behind.
+    try java.sql.DriverManager.getConnection(
+      "jdbc:derby:memory:graftsoak;drop=true")
+    catch { case _: java.sql.SQLException => () } // 08006 = dropped OK
+    def rmTree(dir: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => try java.nio.file.Files.delete(f)
+                        catch { case _: Throwable => () })
+    }
+    rmTree(lakeDir); rmTree(streamDir)
     if (failed || !heapOk) sys.exit(1)
   }
 }

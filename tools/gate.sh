@@ -19,10 +19,21 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 # Self-install the compile-checking pre-commit hook (VERDICT r15 item 2):
 # every gate run re-asserts it so a fresh clone or a pruned .git/hooks
-# cannot drift back to hookless commits.
-if [ -d .git/hooks ] && [ ! -e .git/hooks/pre-commit ]; then
-  ln -sf ../../tools/pre-commit .git/hooks/pre-commit
-  echo "gate: installed tools/pre-commit -> .git/hooks/pre-commit"
+# cannot drift back to hookless commits. r17 (ADVICE r16 item 4):
+# `git rev-parse --git-path hooks` works in worktrees too (where .git is
+# a file, not a dir), and a hook whose target DIFFERS from ours is
+# re-linked (with a warning if it was a foreign hook) instead of silently
+# winning forever.
+hooks=$(git rev-parse --git-path hooks)
+mkdir -p "$hooks"
+want=$(readlink -f tools/pre-commit)
+cur=$(readlink -f "$hooks/pre-commit" 2>/dev/null || true)
+if [ "$cur" != "$want" ]; then
+  if [ -e "$hooks/pre-commit" ]; then
+    echo "gate: WARNING — replacing foreign pre-commit hook ($cur)" >&2
+  fi
+  ln -sf "$want" "$hooks/pre-commit"
+  echo "gate: installed tools/pre-commit -> $hooks/pre-commit"
 fi
 if [ -f ADVICE.md ]; then
   missing=$(awk '
