@@ -55,6 +55,125 @@ object Bench {
     * future delta as noise); later same-JVM points need only 1.
     */
   val ControlId = "range30m-xxhash-agg1m-v1"
+  /** Second host-speed control (VERDICT r16 item 1): the CPU-bound control
+    * above is cache-resident — it does not feel the page-cache/disk/shuffle
+    * contention that actually inflates the suite, so cross-run interference
+    * showed up in `total` but NOT in `control`, and the "normalized" delta
+    * swung ±60% between same-binary runs. This one is shuffle+spill-shaped:
+    * 2M rows × ~256B payload (≈0.5 GB) through an explicit hash
+    * repartition and a per-partition sort on the wide payload column into
+    * the noop sink — shuffle write + shuffle read + external sort, the
+    * byte-moving profile of the suite's heavy families. Same versioning
+    * rule: the workload must NEVER change within a `control2_id`. */
+  val Control2Id = "repart2m-md5sort-noop-v1"
+  private def control2Seconds(spark: SparkSession, warmups: Int = 1): Double = {
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      System.gc()
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 2000000L, 1L, 32)
+          .select(col("id"), pmod(xxhash64(col("id")), lit(1024L)).as("k"),
+            repeat(md5(col("id").cast("string")), 8).as("payload"))
+          .repartition(32, col("k"))
+          .sortWithinPartitions(col("payload"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (1 to warmups).foreach(_ => once())
+      Vector.fill(3)(once()).sorted.apply(1)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Suite-level noise floor (VERDICT r16 item 1): tools/bench_repeat.sh
+    * runs the FULL bench N≥5 times back-to-back at one sha and records the
+    * spread of the normalized totals in bench/suite_noise.json — the only
+    * number that can say whether a round-over-round delta is signal. Read
+    * here (sf + cpus must match; matching is on the sf dir BASENAME so
+    * /root/testdata/sf0.1 and a relocated checkout agree) and carried on
+    * the contract line as `suite_spread_pct`; the delta_noise floor is the
+    * MAX of the control-derived floor and this measured one. */
+  private[graft] def suiteNoiseFloor(cwd: java.nio.file.Path, sfDir: String,
+      cpus: String): Option[Double] = {
+    val f = cwd.resolve("bench").resolve("suite_noise.json")
+    if (!java.nio.file.Files.isRegularFile(f)) return None
+    val txt = try new String(java.nio.file.Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8) catch { case _: Throwable => return None }
+    def str(k: String): Option[String] =
+      ("\"" + k + "\"\\s*:\\s*\"([^\"]*)\"").r.findFirstMatchIn(txt).map(_.group(1))
+    def num(k: String): Option[Double] =
+      ("\"" + k + "\"\\s*:\\s*(-?[0-9]+(?:\\.[0-9]+)?)").r
+        .findFirstMatchIn(txt).map(_.group(1).toDouble)
+    val sfBase = java.nio.file.Paths.get(sfDir).getFileName.toString
+    for {
+      sf <- str("sf") if java.nio.file.Paths.get(sf).getFileName.toString == sfBase
+      pc <- str("cpus") if pc == cpus
+      sp <- num("suite_norm_spread_pct")
+    } yield sp
+  }
+
+  /** Per-query round-over-round movers (VERDICT r16 item 2): family
+    * subtotals hide per-query movement (core ≈ 20 s across ~30 queries), so
+    * compare THIS run's per-query medians against the previous round's full
+    * artifact and surface the top-k relative movers. Each query's delta is
+    * control-normalized — (cur/prev)/(curControl/prevControl) − 1 — so a
+    * uniformly slower host doesn't flag all 113 queries. Sub-`minSec`
+    * queries (both rounds) are skipped: a 0.02 s → 0.05 s swing is jitter,
+    * not a regression. */
+  private[graft] def topMovers(cur: Map[String, Double], prev: Map[String, Double],
+      controlRatio: Double, k: Int = 5, minSec: Double = 0.15): Seq[(String, Double)] = {
+    if (!(controlRatio > 0)) return Nil
+    (cur.keySet intersect prev.keySet).toSeq.flatMap { q =>
+      val c = cur(q); val p = prev(q)
+      if (math.max(c, p) < minSec || !(p > 0)) None
+      else Some(q -> r4((c / p / controlRatio - 1) * 100))
+    }.sortBy { case (n, d) => (-math.abs(d), n) }.take(k)
+  }
+
+  /** Previous round's full bench artifact — per-query medians + control —
+    * for the movers ledger. Source: bench/last_bench.json, the committed
+    * convention (the driver's own previous-round run lands there and is
+    * committed at round close; this run reads it BEFORE overwriting). A
+    * `round` field ≥ the GRAFT_ROUND cap marks a same-round artifact
+    * (in-round re-run) and is rejected — a self-comparison would report
+    * pure noise as "movement". sf + cpus must match for the same reasons
+    * as prevRoundFields. */
+  private[graft] def prevQueryBaseline(cwd: java.nio.file.Path, sfDir: String,
+      cpus: String, roundCap: Option[Int] = None)
+      : Option[(Map[String, Double], Double, String)] = {
+    val f = sys.env.get("GRAFT_BENCH_PREV").map(java.nio.file.Paths.get(_))
+      .getOrElse(cwd.resolve("bench").resolve("last_bench.json"))
+    if (!java.nio.file.Files.isRegularFile(f)) return None
+    val txt = try new String(java.nio.file.Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8) catch { case _: Throwable => return None }
+    def num(k: String): Option[Double] =
+      ("\"" + k + "\"\\s*:\\s*(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)").r
+        .findFirstMatchIn(txt).map(_.group(1).toDouble)
+    def str(k: String): Option[String] =
+      ("\"" + k + "\"\\s*:\\s*\"([^\"]*)\"").r.findFirstMatchIn(txt).map(_.group(1))
+    val sfBase = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val sfOk = str("sf").exists(s =>
+      java.nio.file.Paths.get(s).getFileName.toString == sfBase)
+    val cpusOk = str("cpus").contains(cpus)
+    val roundOk = (num("round"), roundCap) match {
+      case (Some(r0), Some(cap)) => r0 < cap
+      case _ => true // legacy artifacts carry no round; committed = prev by construction
+    }
+    if (!sfOk || !cpusOk || !roundOk) return None
+    // the "queries" map is flat {"name":sec,...} — parse pairs inside it
+    val qm = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse(return None)
+    val pair = "\"([^\"]+)\"\\s*:\\s*(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)".r
+    val queries = pair.findAllMatchIn(qm)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    for { pc <- num("control") if pc > 0 && queries.nonEmpty } yield {
+      val ident = num("round").map(r0 => s"round ${r0.toLong}")
+        .getOrElse(s"total ${num("value").getOrElse(-1.0)}")
+      (queries, pc, ident)
+    }
+  }
   private def controlSeconds(spark: SparkSession, warmups: Int = 1): Double = {
     import org.apache.spark.sql.functions._
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -111,7 +230,8 @@ object Bench {
     */
   private[graft] def prevRoundFields(cwd: java.nio.file.Path, sfDir: String,
       normalized: Double, spreadPct: Double = 0.0,
-      roundCap: Option[Int] = None, cpus: String = "32"): String = {
+      roundCap: Option[Int] = None, cpus: String = "32",
+      suiteFloorPct: Double = 0.0): String = {
     val rx = "BENCH_r(\\d+)\\.json".r
     // Latest-first over ALL candidate wrappers, taking the first that
     // yields comparable fields: a wrapper from a round whose build broke
@@ -144,7 +264,14 @@ object Bench {
             if rcOk && pc > 0 && sameSf && sameCpus } yield {
         val pn = pv / pc
         val delta = r4((normalized / pn - 1) * 100)
-        val floor = spreadPct + num("control_spread_pct").getOrElse(spreadPct)
+        // floor = the larger of (a) the two runs' summed control spreads
+        // (this run's + the previous run's) and (b) the MEASURED suite-level
+        // same-sha spread from bench/suite_noise.json (VERDICT r16 item 1) —
+        // the control spread alone under-read the real cross-run noise by
+        // ~6x (6.6–11.6% control spread vs a 22% same-tree normalized gap).
+        val floor = math.max(
+          spreadPct + num("control_spread_pct").getOrElse(spreadPct),
+          suiteFloorPct)
         val noise = if (math.abs(delta) < floor) ""","delta_noise":true"""
                     else ""
         s""","prev_round":$rn,"prev_normalized":${r4(pn)}""" +
@@ -194,7 +321,9 @@ object Bench {
     // spread is the run's observable same-binary noise floor — any
     // round-over-round delta below it is flagged as noise.
     val controlPoints = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val control2Points = scala.collection.mutable.ArrayBuffer.empty[Double]
     controlPoints += r4(controlSeconds(spark, warmups = 3))
+    control2Points += r4(control2Seconds(spark, warmups = 2))
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     // samples(name) = one wall time per pass, in pass order
     val samples = scala.collection.mutable.LinkedHashMap(
@@ -207,9 +336,13 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
       }
-      if (pass == midPass && passes > 1) controlPoints += r4(controlSeconds(spark))
+      if (pass == midPass && passes > 1) {
+        controlPoints += r4(controlSeconds(spark))
+        control2Points += r4(control2Seconds(spark))
+      }
     }
     controlPoints += r4(controlSeconds(spark))
+    control2Points += r4(control2Seconds(spark))
     graft.operators.Dedup.releaseCaches(spark) // free memoized persists
     def median(v: Vector[Double]): Double = {
       val s = v.sorted
@@ -258,18 +391,36 @@ object Bench {
     val spreadPct = if (control > 0)
       r4((controlPoints.max - controlPoints.min) / control * 100) else 0.0
     val normalized = r4(total / control)
+    val control2 = r4(median(control2Points.toVector))
+    val spread2Pct = if (control2 > 0)
+      r4((control2Points.max - control2Points.min) / control2 * 100) else 0.0
+    val normalized2 = if (control2 > 0) r4(total / control2) else 0.0
+    val cwd = java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."))
+    val roundCap = sys.env.get("GRAFT_ROUND").flatMap(_.toIntOption)
+    val suiteFloor = suiteNoiseFloor(cwd, sfDir, cpus)
     val prevDelta: String = prevRoundFields(
-      java.nio.file.Paths.get(sys.props.getOrElse("user.dir", ".")),
-      sfDir, normalized, spreadPct,
-      sys.env.get("GRAFT_ROUND").flatMap(_.toIntOption), cpus)
+      cwd, sfDir, normalized, spreadPct, roundCap, cpus,
+      suiteFloor.getOrElse(0.0))
+    // per-query movers vs the previous round's committed full artifact
+    val moversFields: String = prevQueryBaseline(cwd, sfDir, cpus, roundCap)
+      .map { case (prevQ, prevCtl, ident) =>
+        val mv = topMovers(med.toMap, prevQ, control / prevCtl)
+          .map { case (n, d) => s"\"" + n + "\":" + d }.mkString("{", ",", "}")
+        s""","movers":$mv,"movers_vs":"$ident""""
+      }.getOrElse("")
     // ~900 B contract line — total + families + control + cold summary +
     // artifact pointer (per-query medians overflowed the capture window)
     val cpts = controlPoints.map(r4).mkString("[", ",", "]")
+    val c2pts = control2Points.map(r4).mkString("[", ",", "]")
+    val suiteField = suiteFloor.map(s => s""","suite_spread_pct":$s""").getOrElse("")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","families":$fams,""" +
       s""""control":$control,"control_id":"$ControlId",""" +
       s""""control_points":$cpts,"control_spread_pct":$spreadPct,""" +
-      s""""normalized":$normalized$prevDelta,""" +
+      s""""control2":$control2,"control2_id":"$Control2Id",""" +
+      s""""control2_points":$c2pts,"control2_spread_pct":$spread2Pct,""" +
+      s""""normalized":$normalized,"normalized2":$normalized2""" +
+      s"""$suiteField$prevDelta$moversFields,""" +
       s""""cold_total":$coldTotal,"cold_hot":$coldHot,""" +
       s""""sf":"$sfDir","passes":$passes,"stat":"median","artifact":"$outPath"}"""
     // Full artifact — all samples per query, so a contaminated pass is
@@ -279,12 +430,15 @@ object Bench {
         s"],\"median\":${r4(median(v))},\"cold\":${r4(v.head)}" +
         (if (anchorSet(n)) ",\"anchor\":true" else "") + "}"
     }.mkString("{", ",", "}")
+    val roundField = roundCap.map(r0 => s""""round":$r0,""").getOrElse("")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
-      s""""cpus":"$cpus","passes":$passes,"stat":"median",""" +
+      s""""cpus":"$cpus","passes":$passes,"stat":"median",$roundField""" +
       s""""control":$control,"control_id":"$ControlId",""" +
       s""""control_points":$cpts,"control_spread_pct":$spreadPct,""" +
-      s""""normalized":$normalized,""" +
+      s""""control2":$control2,"control2_id":"$Control2Id",""" +
+      s""""control2_points":$c2pts,"control2_spread_pct":$spread2Pct,""" +
+      s""""normalized":$normalized,"normalized2":$normalized2$suiteField,""" +
       s""""cold_total":$coldTotal,""" +
       s""""families":$fams,"anchors":$anchorList,"queries":$qs,"detail":$detail}"""
     val p = java.nio.file.Paths.get(outPath)
