@@ -60,10 +60,27 @@ object Verify {
           }
         }
       })
+    // Scale affordances for the out-of-gate decade sweeps (r17, sf10+).
+    // Both default OFF so the driver contract is byte-identical:
+    //  - GRAFT_VERIFY_RESUME=1: skip queries whose output dir already has
+    //    a _SUCCESS marker — a multi-hour sf10 dump survives a JVM death
+    //    without recomputing the finished anchors.
+    //  - GRAFT_VERIFY_COALESCE=0: keep the natural output partitioning.
+    //    coalesce(1) collapses the FINAL STAGE to one task (it propagates
+    //    up to the last shuffle boundary), which serializes a 60M-row
+    //    master build at sf10; every checker reads the dump through a
+    //    /*.parquet glob, so multi-file output compares identically.
+    val resume = sys.env.get("GRAFT_VERIFY_RESUME").contains("1")
+    val single = !sys.env.get("GRAFT_VERIFY_COALESCE").contains("0")
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        if (resume && Files.exists(Paths.get(s"$outDir/$name/_SUCCESS"))) {
+          println(s"[verify] $name already dumped — resume skip")
+        } else {
+          val df = fn(spark, sfDir)
+          (if (single) df.coalesce(1) else df).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        }
         if (spillLog) {
           Thread.sleep(200) // let straggler task-end events drain
           val (m, d) = (memSpill.getAndSet(0L), diskSpill.getAndSet(0L))

@@ -237,7 +237,12 @@ object FuzzVerify {
     * double-division boundary drift in the gate predicate. */
   private def tQualGate(r: Random): Inst = {
     val minWords = 5 + r.nextInt(36)
-    val maxAvg = 4.0 + r.nextInt(11) * 0.5
+    // maxAvg floor is 4.5, not 4.0 (VERDICT r16 item 3 / r17 re-range): the
+    // corpus's avg-word-length 1st percentile is ~3.94 and its min ~3.69,
+    // so a 4.0 draw admits 0-5 docs and (combined with a high minWords) can
+    // produce an EMPTY instance — which vacuously hash-matches. At 4.5 the
+    // tightest draw (minWords=40) still admits ~160 docs at every gate SF.
+    val maxAvg = 4.5 + r.nextInt(10) * 0.5
     Inst("qual_gate",
       (s, dir) => {
         val w = split(trim(col("text")), "\\s+")
@@ -340,9 +345,16 @@ object FuzzVerify {
     * generation is threshold-independent, so this sweeps the verify
     * filter's boundary against the mirrored-plane oracle. */
   private def tLshThresh(r: Random): Inst = {
-    // 0.30 .. 0.50: the synthetic table has no pairs above ~0.6, so higher
-    // draws would fuzz an empty relation (the q74 trap)
-    val t = (6 + r.nextInt(5)) * 0.05
+    // 0.25 .. 0.40 (VERDICT r16 item 3): re-ranged against the corpus's
+    // measured cosine distribution. The old 0.30..0.50 grid drew 0.45/0.50
+    // where the corpus has 14/1 brute pairs at sf0.01 (7/0 at sf0.001) and
+    // the 8x8 LSH bucketing — recall <1 by design — sometimes caught none:
+    // 3/50 + 4/200 instances returned ZERO rows (matrix_r16.log), which
+    // vacuously hash-match. At 0.40 every gate SF has >=59 brute pairs
+    // (sf0.001: 66) and expected LSH survivors >=10, so every draw
+    // exercises a non-trivial verify boundary; 0.25 widens the sweep on
+    // the dense side instead.
+    val t = (5 + r.nextInt(4)) * 0.05
     Inst("lsh_thresh",
       (s, dir) => graft.operators.SimilaritySearch
         .lshPairs(s, dir, bands = 8, bitsPerBand = 8, threshold = t),

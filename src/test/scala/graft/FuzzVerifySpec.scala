@@ -32,6 +32,26 @@ class FuzzVerifySpec extends AnyFunSuite {
     assert(names.distinct.size == names.size)
   }
 
+  test("degenerate-capable templates stay inside non-trivial draw bounds (r17)") {
+    // VERDICT r16 item 3: fz11 drew LSH thresholds (0.45/0.50) above the
+    // corpus's non-trivial range and produced 0-row instances; qual_gate's
+    // maxAvg=4.0 floor admitted 0-5 docs. The re-ranged bounds are pinned
+    // here against the rendered SQL so a future range widening that can
+    // regenerate empty instances fails CI, not a fuzz batch.
+    val insts = FuzzVerify.instances(0L, 600)
+    val lshT = "b\\.nrm\\) >= (0\\.[0-9]+)".r
+    insts.filter(_._1.contains("lsh_thresh")).foreach { case (n, i) =>
+      val ts = lshT.findAllMatchIn(i.sql).map(_.group(1).toDouble).toSeq
+      assert(ts.nonEmpty, s"$n: no threshold literal in SQL")
+      ts.foreach(t => assert(t >= 0.249 && t <= 0.401, s"$n: threshold $t"))
+    }
+    val qgT = "avg_word_len <= ([0-9.]+)".r
+    insts.filter(_._1.contains("qual_gate")).foreach { case (n, i) =>
+      val t = qgT.findFirstMatchIn(i.sql).map(_.group(1).toDouble)
+      assert(t.exists(v => v >= 4.49 && v <= 9.01), s"$n: maxAvg $t")
+    }
+  }
+
   test("every template emits SQL that names at least one base table") {
     val tables = Seq("lineitem", "orders", "part", "customer", "documents",
       "embeddings")

@@ -27,6 +27,7 @@ Reads <dumpDir>/oracle_sql.json for the verbatim CTE text and
 """
 import json
 import os
+import re
 import sys
 
 import duckdb
@@ -38,6 +39,8 @@ K = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 oracle = json.load(open(f"{dump}/oracle_sql.json"))
 q48 = oracle["q48_dedup_clusters"]
 q60 = oracle["q60_dedup_survivors"]
+q31 = oracle["q31_dedup_ngram_jaccard"]
+q92 = oracle["q92_crosssource_dups"]
 
 # Verbatim shingle CTEs (toks/sh/ex/rare/exr) from the stored q48 oracle;
 # everything from pairs_all onward is replaced by the chunked aggregation.
@@ -46,6 +49,17 @@ prefix = prefix.replace("WITH RECURSIVE ", "", 1)
 # Verbatim q60 tail from `qual AS` onward — references `labeled`, which we
 # provide as a temp table below.
 q60_tail = "WITH " + q60[q60.index("qual AS ("):]
+# r17 (VERDICT r16 item 4): the chunked relation is ALSO the exact oracle
+# for the q31 pair anchor and q92's cross-source rollup — their stored
+# oracles run the same 1.2B-row-at-sf10 pairs_all aggregation that dies in
+# one DuckDB pass. q31's threshold is parsed from its stored SQL (the
+# chunked relation is kept down to it); q92's tail from `lab AS` onward is
+# reused verbatim against a temp `pairs` table at its own 0.5 cut.
+m = re.search(r">= ([0-9.]+)\)\s*SELECT doc_a, doc_b, common, jaccard", q31)
+assert m, "q31 oracle shape changed — threshold literal not found"
+T31 = m.group(1)
+assert float(T31) <= 0.5, f"q31 threshold {T31} above the q48 edge cut"
+q92_tail = "WITH " + q92[q92.index("lab AS ("):]
 
 con = duckdb.connect()
 con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCK_MEM', '48GB')}'")
@@ -59,22 +73,26 @@ con.execute(
 con.execute(f"CREATE TEMP TABLE exr AS WITH {prefix} SELECT * FROM exr")
 n_exr = con.execute("SELECT COUNT(*) FROM exr").fetchone()[0]
 
-con.execute("""CREATE TEMP TABLE pair_edges
-  (doc_a BIGINT, doc_b BIGINT)""")
+con.execute("""CREATE TEMP TABLE pairs_full
+  (doc_a BIGINT, doc_b BIGINT, common BIGINT, na BIGINT, nb BIGINT)""")
 for k in range(K):
-    con.execute(f"""INSERT INTO pair_edges
-      SELECT doc_a, doc_b FROM (
+    con.execute(f"""INSERT INTO pairs_full
+      SELECT doc_a, doc_b, common, na, nb FROM (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na,
                b.n_sh AS nb, COUNT(*) AS common
         FROM exr a JOIN exr b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         WHERE hash(a.doc_id, b.doc_id) % {K} = {k}
         GROUP BY 1, 2, 3, 4)
-      WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5""")
-    print(f"  chunk {k + 1}/{K}: edges so far "
-          f"{con.execute('SELECT COUNT(*) FROM pair_edges').fetchone()[0]}",
+      WHERE CAST(common AS DOUBLE) / (na + nb - common) >= {T31}""")
+    print(f"  chunk {k + 1}/{K}: pairs so far "
+          f"{con.execute('SELECT COUNT(*) FROM pairs_full').fetchone()[0]}",
           flush=True)
 
+# q48/q60 edge set: the >= 0.5 cut of the full relation
+con.execute("""CREATE TEMP TABLE pair_edges AS
+  SELECT doc_a, doc_b FROM pairs_full
+  WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5""")
 con.execute("""CREATE TEMP TABLE edges AS
   SELECT doc_a AS src, doc_b AS dst FROM pair_edges
   UNION SELECT doc_b, doc_a FROM pair_edges""")
@@ -131,4 +149,18 @@ compare("q48_dedup_clusters", """
     CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
   FROM labeled""")
 compare("q60_dedup_survivors", q60_tail)
+# r17: the two pair-relation anchors, from the same chunked ground truth.
+# The jaccard double is computed with the IDENTICAL expression the stored
+# oracle uses, over identical integers — bitwise-equal results.
+compare("q31_dedup_ngram_jaccard", f"""
+  SELECT doc_a, doc_b, common,
+    CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+  FROM pairs_full
+  WHERE CAST(common AS DOUBLE) / (na + nb - common) >= {T31}""")
+con.execute("""CREATE TEMP TABLE pairs AS
+  SELECT doc_a, doc_b, common,
+    CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+  FROM pairs_full
+  WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5""")
+compare("q92_crosssource_dups", q92_tail)
 sys.exit(1 if fails else 0)

@@ -51,9 +51,15 @@ total = len(names)
 if empty:
     print(f"[fuzz] {len(empty)}/{total} instances returned ZERO rows: "
           f"{', '.join(empty[:8])}")
-if total and len(empty) > total * 0.25:
-    print(f"FAIL fuzz: {len(empty)}/{total} empty results exceed the 25% "
-          f"non-triviality floor — tighten the template parameter spaces")
+# Per-instance non-triviality (VERDICT r16 item 3): an empty result
+# vacuously hash-matches, so EVERY instance must return rows — the old 25%
+# batch floor let 3/50 degenerate fz11 draws count as "PASS". The template
+# parameter spaces are ranged against the corpus distributions
+# (FuzzVerify.scala per-template comments) so a zero here is always a
+# template-range bug to fix, never an acceptable draw.
+if empty:
+    print(f"FAIL fuzz: {len(empty)}/{total} instances returned zero rows — "
+          f"every instance must be non-trivial; re-range the template draws")
     sys.exit(1)
 if rc != 0:
     print("FAIL fuzz: selfcheck reported mismatches above")

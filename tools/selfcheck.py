@@ -23,9 +23,20 @@ TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# Declared-adjudicator routing (VERDICT r16 item 5): queries whose DuckDB
+# oracle is structurally infeasible at scale (q111's recursive reachability
+# CTE is quadratic in component size) are routed to their designed exact
+# checker BY DECLARATION — the caller (tools/sweep.sh) names them here and
+# runs the adjudicator as a first-class step, instead of recovering from an
+# oracle OOM after the fact.
+declared_skip = set(filter(None,
+    os.environ.get("GRAFT_SELFCHECK_SKIP", "").split(",")))
 fails, passes, skips = [], [], []
 for name, sql in sorted(oracle.items()):
     if only and name not in only:
+        continue
+    if name in declared_skip:
+        skips.append(name)
         continue
     con = duckdb.connect()
     con.execute(f"SET memory_limit='{DUCK_MEM}'")
@@ -67,6 +78,8 @@ for name, sql in sorted(oracle.items()):
         passes.append(name)
 
 for n in passes: print(f"PASS {n}")
+for n in skips: print(f"SKIP {n} (declared adjudicator — caller must run it)")
 for n, why in fails: print(f"FAIL {n}: {why}")
-print(f"\n{len(passes)} pass / {len(fails)} fail")
+tail = f" ({len(skips)} routed to declared adjudicator)" if skips else ""
+print(f"\n{len(passes)} pass / {len(fails)} fail{tail}")
 sys.exit(1 if fails else 0)

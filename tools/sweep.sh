@@ -11,6 +11,19 @@ dirs=("$@")
 if [ ${#dirs[@]} -eq 0 ]; then
   dirs=(/root/testdata/sf0.001 /root/testdata/sf0.01 /root/testdata/sf0.1)
 fi
+# Declared-adjudicator queries (VERDICT r16 item 5): q111's recursive
+# reachability CTE is quadratic in component size — it OOMs any bounded
+# DuckDB budget at sf>=1 percolation, so the linear label-prop checker IS
+# its oracle, by declaration at every SF (it is exact, validated against
+# the recursive CTE at the gate SFs), not a failure-recovery fallback.
+# Future component-label queries join this list with their checker.
+ADJUDICATED="q111_embedding_clusters"
+adjudicate() { # $1=query $2=sfdir $3=dumpdir -> prints checker verdict
+  case "$1" in
+    q111_embedding_clusters) python3 tools/check_clusters_scaled.py "$2" "$3" 2>&1 ;;
+    *) echo "FAIL $1: no adjudicator declared" ;;
+  esac
+}
 for dir in "${dirs[@]}"; do
   sf=$(basename "$dir")
   out="/tmp/graft_sweep_$sf"
@@ -20,32 +33,29 @@ for dir in "${dirs[@]}"; do
   if [ -n "$fails" ]; then echo "$fails"; echo "== $sf: VERIFY FAILURES"; exit 1; fi
   # `|| true`: selfcheck exits 1 when ANY query fails, and under set -e a
   # bare $(…) assignment would abort the script right here — discarding
-  # the captured output AND making the q111 re-adjudication block below
-  # unreachable (r16 finding: the first sf1 sweep died exactly this way,
-  # losing a 75-minute oracle run's verdict). Failures are judged from
-  # the captured text, not the exit code.
-  res=$(python3 tools/selfcheck.py "$dir" "$out" 2>&1 || true)
+  # the captured output (r16 finding: the first sf1 sweep died exactly
+  # this way, losing a 75-minute oracle run's verdict). Failures are
+  # judged from the captured text, not the exit code.
+  res=$(GRAFT_SELFCHECK_SKIP="$ADJUDICATED" \
+    python3 tools/selfcheck.py "$dir" "$out" 2>&1 || true)
   summary=$(echo "$res" | tail -1)
   if ! echo "$summary" | grep -qE "pass / [0-9]+ fail"; then
     echo "$res" | tail -5; echo "== $sf: SELFCHECK CRASHED (no summary line)"; exit 1
   fi
-  # Oracle-resource re-adjudication (r15): q111's recursive reachability
-  # CTE is quadratic in component size — at sf>=1 percolation it exhausts
-  # any bounded DuckDB budget while the Spark dump is fine (the sf1
-  # constrained run hit exactly this). When q111-oracle-OOM is the ONLY
-  # fail, re-check it through the linear label-prop checker (the designed
-  # tool for percolated components at sf>=10) and report its verdict.
   nfail=$(echo "$res" | grep -c '^FAIL' || true)
-  if echo "$res" | grep -q "^FAIL q111_embedding_clusters: oracle error: Out of Memory" \
-     && [ "$nfail" -eq 1 ]; then
-    if python3 tools/check_clusters_scaled.py "$dir" "$out" 2>&1 \
-         | grep -q "^PASS q111_embedding_clusters"; then
-      summary="$summary -> q111 oracle OOM re-adjudicated PASS via label-prop checker (0 real fails)"
-      nfail=0
+  # First-class adjudicator step for the declared queries — same verdict
+  # weight as a DuckDB row, at every SF.
+  for q in $ADJUDICATED; do
+    v=$(adjudicate "$q" "$dir" "$out" | grep -E "^(PASS|FAIL) $q" || true)
+    if echo "$v" | grep -q "^PASS $q"; then
+      summary="$summary + $q adjudicated PASS"
     else
-      summary="$summary -> q111 label-prop re-check ALSO FAILED"
+      summary="$summary + $q adjudicated FAIL"
+      res="$res
+FAIL $q: adjudicator says: ${v:-no verdict line}"
+      nfail=$((nfail + 1))
     fi
-  fi
+  done
   echo "== $sf: $summary"
   # Real failures must fail the sweep (previously only printed): the gate
   # value of this script is its exit code.
