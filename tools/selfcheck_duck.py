@@ -75,12 +75,34 @@ for name, sql in sorted(oracle.items()):
         chunk_rows = int(os.environ.get("GRAFT_DUCK_CHUNK_ROWS", "5000000"))
         K = max(1, (max(d_rows, s_rows) + chunk_rows - 1) // chunk_rows)
         diff = 0
+        if K > 1:
+            # Slice on COERCED types: EXCEPT ALL unifies types before
+            # comparing, but a hash computed on each side's NATIVE types
+            # would route equal-after-coercion rows to different slices
+            # (live catch: q42's DECIMAL tier literals vs the dump's
+            # DOUBLE — 17.6M phantom diffs at sf10 while the unchunked
+            # compare was exactly equal). UNION ALL against the other
+            # side's empty set forces both temp tables to the same
+            # inferred common types, so equal rows hash identically.
+            con.execute(f"""CREATE TEMP TABLE s_cast AS
+              SELECT {cols} FROM read_parquet('{out_dir}/{name}/*.parquet')
+              UNION ALL
+              SELECT {cols} FROM duck WHERE 1 = 0""")
+            con.execute(f"""CREATE TEMP TABLE d_cast AS
+              SELECT {cols} FROM duck
+              UNION ALL
+              SELECT {cols} FROM
+                read_parquet('{out_dir}/{name}/*.parquet') WHERE 1 = 0""")
         for k in range(K):
-            pred = f"WHERE hash({cols}) % {K} = {k}" if K > 1 else ""
+            if K > 1:
+                s_src = f"SELECT * FROM s_cast WHERE hash({cols}) % {K} = {k}"
+                d_src = f"SELECT * FROM d_cast WHERE hash({cols}) % {K} = {k}"
+            else:
+                s_src = (f"SELECT {cols} FROM "
+                         f"read_parquet('{out_dir}/{name}/*.parquet')")
+                d_src = f"SELECT {cols} FROM duck"
             diff += con.execute(f"""
-              WITH s AS (SELECT {cols} FROM
-                         read_parquet('{out_dir}/{name}/*.parquet') {pred}),
-              d AS (SELECT {cols} FROM duck {pred}),
+              WITH s AS ({s_src}), d AS ({d_src}),
               x AS ((SELECT * FROM d EXCEPT ALL SELECT * FROM s)
                     UNION ALL
                     (SELECT * FROM s EXCEPT ALL SELECT * FROM d))
@@ -88,6 +110,9 @@ for name, sql in sorted(oracle.items()):
             if K > 1:
                 print(f"  [{name}] slice {k + 1}/{K}: cumulative diff {diff}",
                       file=sys.stderr, flush=True)
+        if K > 1:
+            con.execute("DROP TABLE s_cast")
+            con.execute("DROP TABLE d_cast")
     except Exception as e:
         fails.append((name, f"compare error: {e}"))
         continue
