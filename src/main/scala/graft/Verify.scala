@@ -72,14 +72,27 @@ object Verify {
     //    /*.parquet glob, so multi-file output compares identically.
     val resume = sys.env.get("GRAFT_VERIFY_RESUME").contains("1")
     val single = !sys.env.get("GRAFT_VERIFY_COALESCE").contains("0")
+    // Resume provenance (ADVICE r17): _SUCCESS alone can't tell WHICH code
+    // or corpus produced a dump — a resumed sweep could adjudicate stale
+    // dumps from an older binary (or another sfDir pointed at the same
+    // outDir) as current evidence. Each dump gets a _GRAFT_STAMP of
+    // (code sha from GRAFT_CODE_SHA — the sweep scripts export
+    // `git rev-parse HEAD` — plus sfDir); resume skips ONLY on an exact
+    // stamp match and recomputes otherwise.
+    val stamp = s"${sys.env.getOrElse("GRAFT_CODE_SHA", "unset")} $sfDir"
+    def stampPath(name: String) = Paths.get(s"$outDir/$name/_GRAFT_STAMP")
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
-        if (resume && Files.exists(Paths.get(s"$outDir/$name/_SUCCESS"))) {
-          println(s"[verify] $name already dumped — resume skip")
+        val done = Files.exists(Paths.get(s"$outDir/$name/_SUCCESS")) &&
+          Files.exists(stampPath(name)) &&
+          Files.readString(stampPath(name)) == stamp
+        if (resume && done) {
+          println(s"[verify] $name already dumped — resume skip (stamp match)")
         } else {
           val df = fn(spark, sfDir)
           (if (single) df.coalesce(1) else df).write.mode("overwrite")
             .parquet(s"$outDir/$name")
+          Files.writeString(stampPath(name), stamp)
         }
         if (spillLog) {
           Thread.sleep(200) // let straggler task-end events drain

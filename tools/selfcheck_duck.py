@@ -72,6 +72,14 @@ for name, sql in sorted(oracle.items()):
         # land in equal slices) with 1/K the live state; the duck temp
         # table and the parquet dump are each scanned K times (cheap,
         # sequential). K=1 (small results) keeps the original single pass.
+        # Short-circuit (ADVICE r17): counts already computed above — a
+        # count mismatch decides the verdict NOW; burning the multi-hour
+        # K-slice compare first proved nothing extra at sf10.
+        if s_rows != d_rows:
+            fails.append((name,
+                          f"rowcount mismatch: spark={s_rows} duck={d_rows}"))
+            con.close()
+            continue
         chunk_rows = int(os.environ.get("GRAFT_DUCK_CHUNK_ROWS", "5000000"))
         K = max(1, (max(d_rows, s_rows) + chunk_rows - 1) // chunk_rows)
         diff = 0
@@ -116,9 +124,7 @@ for name, sql in sorted(oracle.items()):
     except Exception as e:
         fails.append((name, f"compare error: {e}"))
         continue
-    if s_rows != d_rows:
-        fails.append((name, f"rowcount mismatch: spark={s_rows} duck={d_rows}"))
-    elif diff != 0:
+    if diff != 0:
         fails.append((name, f"multiset mismatch: {diff} differing rows"))
     else:
         passes.append(name)

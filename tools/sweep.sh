@@ -14,10 +14,16 @@ fi
 # Declared-adjudicator queries (VERDICT r16 item 5): q111's recursive
 # reachability CTE is quadratic in component size — it OOMs any bounded
 # DuckDB budget at sf>=1 percolation, so the linear label-prop checker IS
-# its oracle, by declaration at every SF (it is exact, validated against
-# the recursive CTE at the gate SFs), not a failure-recovery fallback.
+# its oracle there. At the GATE SFs (sf0.*) the CTE is cheap, so it KEEPS
+# running alongside the adjudicator (ADVICE r17: skipping it everywhere
+# would leave checker drift invisible — the stored oracle stays the
+# adjudicator's ongoing cross-validation where it fits).
 # Future component-label queries join this list with their checker.
 ADJUDICATED="q111_embedding_clusters"
+# Resume provenance for Verify's _GRAFT_STAMP (ADVICE r17): dumps are
+# evidence only for the code that produced them.
+GRAFT_CODE_SHA=$(git rev-parse HEAD 2>/dev/null || echo unset)
+export GRAFT_CODE_SHA
 adjudicate() { # $1=query $2=sfdir $3=dumpdir -> prints checker verdict
   case "$1" in
     q111_embedding_clusters) python3 tools/check_clusters_scaled.py "$2" "$3" 2>&1 ;;
@@ -36,7 +42,14 @@ for dir in "${dirs[@]}"; do
   # the captured output (r16 finding: the first sf1 sweep died exactly
   # this way, losing a 75-minute oracle run's verdict). Failures are
   # judged from the captured text, not the exit code.
-  res=$(GRAFT_SELFCHECK_SKIP="$ADJUDICATED" \
+  # Gate SFs (sf0.*): empty skip list — the recursive-CTE oracle runs in
+  # selfcheck AND the adjudicator runs below (cross-validation). sf>=1:
+  # the CTE is structurally infeasible, the adjudicator alone decides.
+  case "$sf" in
+    sf0.*) skip="" ;;
+    *)     skip="$ADJUDICATED" ;;
+  esac
+  res=$(GRAFT_SELFCHECK_SKIP="$skip" \
     python3 tools/selfcheck.py "$dir" "$out" 2>&1 || true)
   summary=$(echo "$res" | tail -1)
   if ! echo "$summary" | grep -qE "pass / [0-9]+ fail"; then

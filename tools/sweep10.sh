@@ -28,6 +28,11 @@ cd "$(dirname "$0")/.."
 SF="${1:-/tmp/sf10}"; OUT="${2:-/tmp/v10}"; LOG="${3:-$OUT/selfcheck.log}"
 mkdir -p "$OUT"; touch "$LOG"
 
+# Resume provenance for Verify's _GRAFT_STAMP (ADVICE r17): dumps are
+# evidence only for the code that produced them.
+GRAFT_CODE_SHA=$(git rev-parse HEAD 2>/dev/null || echo unset)
+export GRAFT_CODE_SHA
+
 # Scope hygiene (ADVICE r14): GRAFT_RECALL_ONLY would silently skip the
 # precision half of the sampled LSH checker; a sweep is always full-scope.
 unset GRAFT_RECALL_ONLY
@@ -113,7 +118,11 @@ if [ "$need4" -eq 1 ]; then
   done
 fi
 
-run q38_dedup_embedding_lsh python3 tools/check_lsh_adaptive.py \
+# q38: the banded BLAS checker (VERDICT r17 item 1) — same exact verdict
+# as check_lsh_adaptive.py (cross-validated at sf0.001/0.01/0.1), but the
+# within-bucket Gram runs as blockwise float64 BLAS instead of 5e9
+# interpreted list_dot_products, so the sf10 point closes in minutes.
+run q38_dedup_embedding_lsh python3 tools/check_lsh_banded.py \
   "$SF" "$OUT/q38_dedup_embedding_lsh" 4 4 0.35
 # q110 BEFORE q111 (sweep100 ordering): q111's checker can fall back to the
 # verified q110 dump if its own edge derivation preflights out.

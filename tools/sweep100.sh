@@ -17,6 +17,11 @@ cd "$(dirname "$0")/.."
 SF="${1:-/tmp/sf100}"; OUT="${2:-/tmp/v100wide}"; LOG="${3:-$OUT/selfcheck.log}"
 mkdir -p "$OUT"; touch "$LOG"
 
+# Resume provenance for Verify's _GRAFT_STAMP (ADVICE r17): dumps are
+# evidence only for the code that produced them.
+GRAFT_CODE_SHA=$(git rev-parse HEAD 2>/dev/null || echo unset)
+export GRAFT_CODE_SHA
+
 # Scope hygiene (ADVICE r14): GRAFT_RECALL_ONLY is a widening hook for
 # check_lsh_sampled.py — leaked into a sweep it would silently skip the
 # whole precision half and the bare PASS line would record a full-scope
