@@ -33,6 +33,15 @@ mkdir -p "$OUT"; touch "$LOG"
 GRAFT_CODE_SHA=$(git rev-parse HEAD 2>/dev/null || echo unset)
 export GRAFT_CODE_SHA
 
+# The PASS-line resume log is evidence with the same provenance rule: a
+# log written against an older sha must not satisfy this run's resume
+# grep. First line carries the sha; mismatch rotates the old log aside.
+if [ -s "$LOG" ] && [ "$(head -1 "$LOG")" != "# sha $GRAFT_CODE_SHA" ]; then
+  mv "$LOG" "$LOG.stale.$(head -1 "$LOG" | awk '{print $3}')" 2>/dev/null || true
+  echo "[sweep10] rotated stale resume log (sha changed)" >&2
+fi
+[ -s "$LOG" ] || echo "# sha $GRAFT_CODE_SHA" > "$LOG"
+
 # Scope hygiene (ADVICE r14): GRAFT_RECALL_ONLY would silently skip the
 # precision half of the sampled LSH checker; a sweep is always full-scope.
 unset GRAFT_RECALL_ONLY
@@ -52,17 +61,18 @@ if [ "$free_gb" -lt 20 ]; then
   exit 1
 fi
 
-# Dump once (resumable both ways: a finished dump is skipped whole via
-# oracle_sql.json, and a crashed dump resumes per-query via _SUCCESS
-# markers; COALESCE=0 keeps the 60M-row final stages parallel).
+# Dump via Verify's stamp-checked resume — ALWAYS invoked (ADVICE r17:
+# an oracle_sql.json-existence skip here adjudicated a PREVIOUS round's
+# dump as current evidence). Per-query _GRAFT_STAMP (code sha + sfDir)
+# decides what is reusable: a fully current dump skims through in
+# seconds, a stale or crashed one recomputes exactly the stale queries.
+# COALESCE=0 keeps the 60M-row final stages parallel.
+echo "[sweep10] $(date +%H:%M:%S) dump/resume registry at $SF (sha $GRAFT_CODE_SHA)" >&2
+GRAFT_XMX="${GRAFT_XMX:-24g}" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" \
+  GRAFT_VERIFY_RESUME=1 GRAFT_VERIFY_COALESCE=0 \
+  bash tools/run.sh graft.Verify "$SF" "$OUT" 2>&1 | tail -3
 if [ ! -f "$OUT/oracle_sql.json" ]; then
-  echo "[sweep10] $(date +%H:%M:%S) dumping registry at $SF" >&2
-  GRAFT_XMX="${GRAFT_XMX:-24g}" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" \
-    GRAFT_VERIFY_RESUME=1 GRAFT_VERIFY_COALESCE=0 \
-    bash tools/run.sh graft.Verify "$SF" "$OUT" 2>&1 | tail -3
-  if [ ! -f "$OUT/oracle_sql.json" ]; then
-    echo "[sweep10] ABORT: dump produced no oracle_sql.json" >&2; exit 1
-  fi
+  echo "[sweep10] ABORT: dump produced no oracle_sql.json" >&2; exit 1
 fi
 
 run() { # run <name> <cmd...> — resumable, scope-honest (sweep100's helper)
