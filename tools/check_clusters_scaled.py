@@ -25,6 +25,8 @@ import sys
 
 import duckdb
 
+from duckcompare import multiset_compare
+
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
 dump = sys.argv[2] if len(sys.argv) > 2 else "/tmp/v10wide"
 NAME = "q111_embedding_clusters"
@@ -200,22 +202,15 @@ while True:
         print(f"FAIL {NAME}: label propagation did not converge in 64 rounds")
         sys.exit(1)
 
-duck_rows, spark_rows, diff_rows = con.execute(f"""
-WITH duck AS (
-  SELECT v AS vec_id, rep AS cluster_rep,
-    CAST(COUNT(*) OVER (PARTITION BY rep) AS BIGINT) AS cluster_size
-  FROM labels),
-spark AS (SELECT vec_id, cluster_rep, cluster_size
-          FROM read_parquet('{dump}/{NAME}/*.parquet')),
-diff AS (
-  (SELECT * FROM duck EXCEPT ALL SELECT * FROM spark)
-  UNION ALL
-  (SELECT * FROM spark EXCEPT ALL SELECT * FROM duck))
-SELECT (SELECT COUNT(*) FROM duck), (SELECT COUNT(*) FROM spark),
-       (SELECT COUNT(*) FROM diff)""").fetchone()
+# shared multiset equality (tools/duckcompare.py, VERDICT r17 item 5)
+duck_rows, spark_rows, diff_rows = multiset_compare(
+    con, """SELECT v AS vec_id, rep AS cluster_rep,
+      CAST(COUNT(*) OVER (PARTITION BY rep) AS BIGINT) AS cluster_size
+      FROM labels""", f"{dump}/{NAME}/*.parquet")
 if diff_rows == 0 and duck_rows == spark_rows:
     print(f"PASS {NAME} (label-prop check: {spark_rows} rows exact, "
           f"{n_pairs} edges [{edge_mode}], {rounds} rounds)")
     sys.exit(0)
-print(f"FAIL {NAME}: duck={duck_rows} spark={spark_rows} diff={diff_rows}")
+print(f"FAIL {NAME}: duck={duck_rows} spark={spark_rows} "
+      f"diff={'counts differ' if diff_rows is None else diff_rows}")
 sys.exit(1)

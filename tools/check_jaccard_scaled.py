@@ -32,6 +32,8 @@ import sys
 
 import duckdb
 
+from duckcompare import multiset_compare
+
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
 dump = sys.argv[2] if len(sys.argv) > 2 else "/tmp/v10wide"
 K = int(sys.argv[3]) if len(sys.argv) > 3 else 10
@@ -125,22 +127,16 @@ fails = 0
 
 
 def compare(name: str, duck_sql: str) -> None:
+    # shared multiset equality (tools/duckcompare.py, VERDICT r17 item 5)
     global fails
-    duck_rows, spark_rows, diff_rows = con.execute(f"""
-      WITH duck AS ({duck_sql}),
-      spark AS (SELECT * FROM read_parquet('{dump}/{name}/*.parquet')),
-      diff AS (
-        (SELECT * FROM duck EXCEPT ALL SELECT * FROM spark)
-        UNION ALL
-        (SELECT * FROM spark EXCEPT ALL SELECT * FROM duck))
-      SELECT (SELECT COUNT(*) FROM duck), (SELECT COUNT(*) FROM spark),
-             (SELECT COUNT(*) FROM diff)""").fetchone()
+    duck_rows, spark_rows, diff_rows = multiset_compare(
+        con, duck_sql, f"{dump}/{name}/*.parquet")
     if diff_rows == 0 and duck_rows == spark_rows:
         print(f"PASS {name} (chunked-agg check: {spark_rows} rows exact, "
               f"{rounds} label rounds, {n_exr} shingle rows)")
     else:
         print(f"FAIL {name}: duck={duck_rows} spark={spark_rows} "
-              f"diff={diff_rows}")
+              f"diff={'counts differ' if diff_rows is None else diff_rows}")
         fails += 1
 
 

@@ -29,6 +29,8 @@ import sys
 
 import duckdb
 
+from duckcompare import multiset_compare
+
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10"
 dump = sys.argv[2] if len(sys.argv) > 2 else "/tmp/v10wide"
 NAME = "q110_ann_lsh_scaled"
@@ -51,7 +53,10 @@ first_band_only = "\n    ".join(
     f"AND NOT (x.band_idx >= {j + 1} AND x.codes[{j + 1}] = y.codes[{j + 1}])"
     for j in range(BANDS - 1))
 
-check = f"""{pre},
+# The streamed pair pipeline materializes only the >=THRESH survivors
+# into a temp table; the multiset equality itself goes through the shared
+# compare (tools/duckcompare.py, VERDICT r17 item 5).
+derive = f"""CREATE TEMP TABLE duck_pairs AS {pre},
 codes AS (SELECT vec_id, emb, nrm, {band_list} AS codes FROM e),
 banded AS (SELECT vec_id, emb, nrm, codes, unnest(range({BANDS})) AS band_idx FROM codes),
 keyed AS (SELECT *, codes[band_idx + 1] AS bucket FROM banded),
@@ -62,16 +67,8 @@ pairs AS (
     ON x.band_idx = y.band_idx AND x.bucket = y.bucket
    AND x.vec_id < y.vec_id
   WHERE TRUE
-    {first_band_only}),
-duck AS (SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {THRESH}),
-spark AS (SELECT vec_a, vec_b, cosine FROM read_parquet('{dump}/{NAME}/*.parquet')),
-diff AS (
-  (SELECT 'duck_only' AS side, * FROM (SELECT * FROM duck EXCEPT ALL SELECT * FROM spark))
-  UNION ALL
-  (SELECT 'spark_only', * FROM (SELECT * FROM spark EXCEPT ALL SELECT * FROM duck)))
-SELECT (SELECT COUNT(*) FROM duck) AS duck_rows,
-       (SELECT COUNT(*) FROM spark) AS spark_rows,
-       (SELECT COUNT(*) FROM diff) AS diff_rows"""
+    {first_band_only})
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {THRESH}"""
 
 con = duckdb.connect()
 con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCK_MEM', '48GB')}'")
@@ -108,9 +105,12 @@ if need_gb > free_gb * 0.8:
           f"full dump + sampled-cell recall) at this scale")
     sys.exit(1)
 
-duck_rows, spark_rows, diff_rows = con.execute(check).fetchone()
+con.execute(derive)
+duck_rows, spark_rows, diff_rows = multiset_compare(
+    con, "SELECT * FROM duck_pairs", f"{dump}/{NAME}/*.parquet")
 if diff_rows == 0 and duck_rows == spark_rows:
     print(f"PASS {NAME} (streamed first-band check: {spark_rows} rows exact)")
     sys.exit(0)
-print(f"FAIL {NAME}: duck={duck_rows} spark={spark_rows} diff={diff_rows}")
+print(f"FAIL {NAME}: duck={duck_rows} spark={spark_rows} "
+      f"diff={'counts differ' if diff_rows is None else diff_rows}")
 sys.exit(1)

@@ -55,6 +55,10 @@ if [ -n "$(git status --porcelain)" ]; then
   git status --porcelain | head >&2
   exit 1
 fi
+# Shared-compare self-test (VERDICT r17 item 5): pins the UNION-coerced
+# slice hashing (q42's DECIMAL-vs-DOUBLE live catch) so no checker can
+# reintroduce the native-type bug past a certification.
+python3 tools/duckcompare.py
 sbt -batch 'Test/compile' 'runMain graft.tools.Smoke' 2>&1 | tail -5
 sha=$(git rev-parse HEAD)
 echo "$sha" > bench/gate_certified_sha.txt
