@@ -51,21 +51,31 @@ def multiset_compare(con, duck_sql, spark_glob, cols=None,
     s_rows = con.execute(
         f"SELECT COUNT(*) FROM read_parquet('{spark_glob}')").fetchone()[0]
     if d_rows != s_rows:
+        con.execute("DROP VIEW IF EXISTS _dc_duck")
         return d_rows, s_rows, None
     K = max(1, (max(d_rows, s_rows) + chunk_rows - 1) // chunk_rows)
     if K > 1:
-        # UNION-coerce BOTH sides to the same inferred types before the
-        # slice hash (module docstring) — this is the load-bearing line.
-        con.execute(f"""CREATE TEMP TABLE _dc_s AS
-          {spark_src} UNION ALL SELECT * FROM ({duck_src}) WHERE 1 = 0""")
-        con.execute(f"""CREATE TEMP TABLE _dc_d AS
-          {duck_src} UNION ALL SELECT * FROM ({spark_src}) WHERE 1 = 0""")
+        # Coerce BOTH sides to the UNION-unified common types before the
+        # slice hash (module docstring) — this is the load-bearing step.
+        # The types come from one LIMIT-0 DESCRIBE of the union; explicit
+        # CASTs to that common type are then pushed into each scan, so the
+        # slices are plain filtered scans with NO materialized coerced
+        # copy of either side (an sf100 600M-row result would need
+        # ~100+ GB of temp-table spill for two coerced copies; the K
+        # filtered scans need none).
+        utypes = con.execute(f"""DESCRIBE
+          SELECT * FROM ({spark_src} LIMIT 0)
+          UNION ALL SELECT * FROM ({duck_src} LIMIT 0)""").fetchall()
+        castlist = ", ".join(
+            f'CAST("{r[0]}" AS {r[1]}) AS "{r[0]}"' for r in utypes)
+        spark_src = f"SELECT {castlist} FROM read_parquet('{spark_glob}')"
+        duck_src = f"SELECT {castlist} FROM _dc_duck"
     diff = 0
     try:
         for k in range(K):
             if K > 1:
-                s = f"SELECT * FROM _dc_s WHERE hash({collist}) % {K} = {k}"
-                d = f"SELECT * FROM _dc_d WHERE hash({collist}) % {K} = {k}"
+                s = f"SELECT * FROM ({spark_src}) WHERE hash({collist}) % {K} = {k}"
+                d = f"SELECT * FROM ({duck_src}) WHERE hash({collist}) % {K} = {k}"
             else:
                 s, d = spark_src, duck_src
             diff += con.execute(f"""
@@ -77,9 +87,6 @@ def multiset_compare(con, duck_sql, spark_glob, cols=None,
             if progress and K > 1:
                 progress(k + 1, K, diff)
     finally:
-        if K > 1:
-            con.execute("DROP TABLE IF EXISTS _dc_s")
-            con.execute("DROP TABLE IF EXISTS _dc_d")
         con.execute("DROP VIEW IF EXISTS _dc_duck")
     return d_rows, s_rows, diff
 
