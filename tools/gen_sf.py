@@ -94,7 +94,20 @@ def main() -> None:
                        dtype=np.float32)
 
     for t, tbl in src.items():
-        parts = []
+        # Streaming + resumable (r18, for the sf100 decade): the old
+        # concat-then-write held every replica in memory at once — 1000
+        # replicas of lineitem is ~60 GB of arrow, an OOM on a box that is
+        # also running a sweep. Each replica now goes out as its own row
+        # group through ParquetWriter (peak memory = one replica), the
+        # write lands on a .tmp path renamed only on completion, and a
+        # table whose final file already exists is skipped so a restart
+        # resumes where it died.
+        final = os.path.join(out, f"{t}.parquet")
+        if os.path.exists(final):
+            print(f"{t}: exists — resume skip")
+            continue
+        writer = pq.ParquetWriter(final + ".tmp", tbl.schema)
+        n_out = 0
         for k in range(replicas):
             cols = {}
             for field in tbl.schema:
@@ -126,10 +139,12 @@ def main() -> None:
                         rolled = rolled * signs
                     col = pa.array(rolled.tolist(), type=field.type)
                 cols[field.name] = col
-            parts.append(pa.table(cols, schema=tbl.schema))
-        big = pa.concat_tables(parts)
-        pq.write_table(big, os.path.join(out, f"{t}.parquet"))
-        print(f"{t}: {tbl.num_rows} -> {big.num_rows}")
+            part = pa.table(cols, schema=tbl.schema)
+            writer.write_table(part)
+            n_out += part.num_rows
+        writer.close()
+        os.replace(final + ".tmp", final)
+        print(f"{t}: {tbl.num_rows} -> {n_out}")
 
 
 if __name__ == "__main__":
