@@ -113,7 +113,8 @@ budget q48_dedup_clusters \
 budget q60_dedup_survivors \
   "survivor window over q48's budgeted sf100 edge labels; adjudicated exact through sf10"
 
-SPECIAL="q38_dedup_embedding_lsh q110_ann_lsh_scaled q111_embedding_clusters"
+SPECIAL="q38_dedup_embedding_lsh q110_ann_lsh_scaled q111_embedding_clusters \
+q85_semdedup"
 BUDGETED="q31_dedup_ngram_jaccard q33_dedup_simhash q34_dedup_embedding \
 q48_dedup_clusters q60_dedup_survivors q92_crosssource_dups"
 
@@ -180,6 +181,11 @@ done
 # verified q110 dump); q38 last — its checker prints wall time to stderr.
 dump_and_check "batch_lsh" q110_ann_lsh_scaled q111_embedding_clusters
 dump_and_check "batch_q38" q38_dedup_embedding_lsh
+# q85 dead last: its full-corpus sqrt(N)-means TRAINING is the single most
+# expensive Spark stage in the registry at 2M x 64 (r12 reclassification
+# kept it out of the old 10-query sweep entirely); everything else
+# adjudicates before this can stall the log.
+dump_and_check "batch_q85" q85_semdedup
 
 npass=$(grep -c '^PASS' "$LOG" || true)
 nfail=$(grep -c '^FAIL' "$LOG" || true)
