@@ -94,9 +94,19 @@ object Bench {
     * here (sf + cpus must match; matching is on the sf dir BASENAME so
     * /root/testdata/sf0.1 and a relocated checkout agree) and carried on
     * the contract line as `suite_spread_pct`; the delta_noise floor is the
-    * MAX of the control-derived floor and this measured one. */
+    * MAX of the control-derived floor and this measured one.
+    *
+    * Freshness (ADVICE r17): a floor measured once must not apply forever
+    * — the suite changes every round, so a stale measurement would stamp
+    * all sub-floor regressions delta_noise indefinitely. The file's
+    * `round` field (bench_repeat.sh records GRAFT_ROUND) must be within
+    * `maxAge` rounds of the CURRENT round or the floor is ignored,
+    * forcing a re-measure. A missing `round` (pre-r18 files) is stale by
+    * definition when the current round is known; when GRAFT_ROUND itself
+    * is unset (ad-hoc local runs) age can't be judged and the floor is
+    * accepted as-is. */
   private[graft] def suiteNoiseFloor(cwd: java.nio.file.Path, sfDir: String,
-      cpus: String): Option[Double] = {
+      cpus: String, roundCap: Option[Int], maxAge: Int = 2): Option[Double] = {
     val f = cwd.resolve("bench").resolve("suite_noise.json")
     if (!java.nio.file.Files.isRegularFile(f)) return None
     val txt = try new String(java.nio.file.Files.readAllBytes(f),
@@ -107,6 +117,17 @@ object Bench {
       ("\"" + k + "\"\\s*:\\s*(-?[0-9]+(?:\\.[0-9]+)?)").r
         .findFirstMatchIn(txt).map(_.group(1).toDouble)
     val sfBase = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val fresh = roundCap match {
+      case None => true // no current round known — can't age-check
+      case Some(cap) => num("round").exists(r => cap - r <= maxAge && r <= cap)
+    }
+    if (!fresh) {
+      System.err.println(s"[bench] suite_noise.json is stale (round " +
+        s"${num("round").map(_.toInt.toString).getOrElse("unset")} vs current " +
+        s"${roundCap.get}, maxAge $maxAge) — floor ignored; re-run " +
+        "tools/bench_repeat.sh to re-measure")
+      return None
+    }
     for {
       sf <- str("sf") if java.nio.file.Paths.get(sf).getFileName.toString == sfBase
       pc <- str("cpus") if pc == cpus
@@ -397,7 +418,7 @@ object Bench {
     val normalized2 = if (control2 > 0) r4(total / control2) else 0.0
     val cwd = java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."))
     val roundCap = sys.env.get("GRAFT_ROUND").flatMap(_.toIntOption)
-    val suiteFloor = suiteNoiseFloor(cwd, sfDir, cpus)
+    val suiteFloor = suiteNoiseFloor(cwd, sfDir, cpus, roundCap)
     val prevDelta: String = prevRoundFields(
       cwd, sfDir, normalized, spreadPct, roundCap, cpus,
       suiteFloor.getOrElse(0.0))

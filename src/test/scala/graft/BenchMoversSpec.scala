@@ -107,10 +107,35 @@ class BenchMoversSpec extends AnyFunSuite {
 
   test("suite noise floor read when sf+cpus match (basename compare)") {
     inTemp("suite_noise.json" -> noiseJson("sf0.1", "32", 14.5)) { dir =>
-      assert(Bench.suiteNoiseFloor(dir, "/root/testdata/sf0.1", "32")
+      assert(Bench.suiteNoiseFloor(dir, "/root/testdata/sf0.1", "32", None)
         .contains(14.5))
-      assert(Bench.suiteNoiseFloor(dir, "/tmp/sf1", "32").isEmpty)
-      assert(Bench.suiteNoiseFloor(dir, "/root/testdata/sf0.1", "8").isEmpty)
+      assert(Bench.suiteNoiseFloor(dir, "/tmp/sf1", "32", None).isEmpty)
+      assert(Bench.suiteNoiseFloor(dir, "/root/testdata/sf0.1", "8", None).isEmpty)
+    }
+  }
+
+  // ----------------------------------- suite floor freshness (ADVICE r17)
+  private def noiseJsonRound(round: String, spread: Double): String =
+    s"""{"sha":"abc","sf":"sf0.1","cpus":"32","n":5,"round":$round,""" +
+      s""""totals":[60.1,61.2],"normalized":[40.0,41.0],""" +
+      s""""suite_spread_pct":3.1,"suite_norm_spread_pct":$spread}"""
+
+  test("suite noise floor is age-gated against the current round") {
+    val sf = "/root/testdata/sf0.1"
+    // fresh: same round, and up to maxAge=2 rounds old
+    inTemp("suite_noise.json" -> noiseJsonRound("18", 9.8)) { dir =>
+      assert(Bench.suiteNoiseFloor(dir, sf, "32", Some(18)).contains(9.8))
+      assert(Bench.suiteNoiseFloor(dir, sf, "32", Some(20)).contains(9.8))
+      // stale: 3+ rounds old — ignored, forcing a re-measure
+      assert(Bench.suiteNoiseFloor(dir, sf, "32", Some(21)).isEmpty)
+      // a FUTURE round in the file is nonsense provenance — ignored too
+      assert(Bench.suiteNoiseFloor(dir, sf, "32", Some(17)).isEmpty)
+    }
+    // legacy file without a round field: stale by definition under a cap,
+    // accepted only when the current round itself is unknown
+    inTemp("suite_noise.json" -> noiseJson("sf0.1", "32", 9.8)) { dir =>
+      assert(Bench.suiteNoiseFloor(dir, sf, "32", Some(18)).isEmpty)
+      assert(Bench.suiteNoiseFloor(dir, sf, "32", None).contains(9.8))
     }
   }
 

@@ -51,6 +51,9 @@ ctl = [r["control"] for r in runs]
 ctl2 = [r.get("control2", 0.0) for r in runs]
 out = {
     "sha": sha, "sf": os.path.basename(sf_dir.rstrip("/")), "cpus": cpus, "n": n,
+    # Freshness anchor (ADVICE r17): Bench ignores this floor once the
+    # current GRAFT_ROUND is more than 2 rounds past this one.
+    "round": int(os.environ["GRAFT_ROUND"]) if os.environ.get("GRAFT_ROUND", "").isdigit() else None,
     "totals": totals, "control": ctl, "control2": ctl2,
     "normalized": norm, "normalized2": norm2,
     "suite_spread_pct": spread(totals),

@@ -22,7 +22,9 @@ fi
 ADJUDICATED="q111_embedding_clusters"
 # Resume provenance for Verify's _GRAFT_STAMP (ADVICE r17): dumps are
 # evidence only for the code that produced them.
-GRAFT_CODE_SHA=$(git rev-parse HEAD 2>/dev/null || echo unset)
+# env override: pin the evidence sha when the only commits since
+# are non-data-plane (tools/bench) — document the diff in PLANS.md.
+GRAFT_CODE_SHA="${GRAFT_CODE_SHA:-$(git rev-parse HEAD 2>/dev/null || echo unset)}"
 export GRAFT_CODE_SHA
 adjudicate() { # $1=query $2=sfdir $3=dumpdir -> prints checker verdict
   case "$1" in

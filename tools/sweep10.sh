@@ -30,7 +30,9 @@ mkdir -p "$OUT"; touch "$LOG"
 
 # Resume provenance for Verify's _GRAFT_STAMP (ADVICE r17): dumps are
 # evidence only for the code that produced them.
-GRAFT_CODE_SHA=$(git rev-parse HEAD 2>/dev/null || echo unset)
+# env override: pin the evidence sha when the only commits since
+# are non-data-plane (tools/bench) — document the diff in PLANS.md.
+GRAFT_CODE_SHA="${GRAFT_CODE_SHA:-$(git rev-parse HEAD 2>/dev/null || echo unset)}"
 export GRAFT_CODE_SHA
 
 # The PASS-line resume log is evidence with the same provenance rule: a
@@ -136,7 +138,13 @@ run q38_dedup_embedding_lsh python3 tools/check_lsh_banded.py \
   "$SF" "$OUT/q38_dedup_embedding_lsh" 4 4 0.35
 # q110 BEFORE q111 (sweep100 ordering): q111's checker can fall back to the
 # verified q110 dump if its own edge derivation preflights out.
-run q110_ann_lsh_scaled python3 tools/check_lsh_scaled.py "$SF" "$OUT"
+# r18: the banded BLAS checker replaces check_lsh_scaled here — the DuckDB
+# full re-enumeration preflighted out at sf10 (est 96 GB spill, r17 fell
+# back to the SAMPLED checker); banded enumerates all ~6e8 (8,8)
+# candidates exactly in memory with zero spill (cross-validated vs
+# check_lsh_scaled at sf0.001/0.01/0.1 — 46/42/735 rows exact).
+run q110_ann_lsh_scaled python3 tools/check_lsh_banded.py \
+  "$SF" "$OUT/q110_ann_lsh_scaled" 8 8 0.35
 run q111_embedding_clusters python3 tools/check_clusters_scaled.py "$SF" "$OUT"
 
 npass=$(grep -c '^PASS' "$LOG" || true)

@@ -40,7 +40,9 @@ SF="${1:-/tmp/sf100}"; OUT="${2:-/tmp/v100}"; LOG="${3:-$OUT/selfcheck.log}"
 mkdir -p "$OUT"; touch "$LOG"
 
 # Resume provenance (ADVICE r17): evidence binds to the code that made it.
-GRAFT_CODE_SHA=$(git rev-parse HEAD 2>/dev/null || echo unset)
+# env override: pin the evidence sha when the only commits since
+# are non-data-plane (tools/bench) — document the diff in PLANS.md.
+GRAFT_CODE_SHA="${GRAFT_CODE_SHA:-$(git rev-parse HEAD 2>/dev/null || echo unset)}"
 export GRAFT_CODE_SHA
 if [ -s "$LOG" ] && [ "$(head -1 "$LOG")" != "# sha $GRAFT_CODE_SHA" ]; then
   mv "$LOG" "$LOG.stale.$(date +%s)" 2>/dev/null || true
