@@ -12,13 +12,18 @@ BLAS Gram matrices (~6e11 flops at sf10 -> minutes), with EXACTNESS kept
 by a two-phase scheme:
 
   phase 1 (filter, certified bound): for each (band, bucket), blockwise
-    G = X @ X.T in float64 BLAS. BLAS may reorder additions, but for
-    64-term sums the normalized error |G/(na*nb) - cosine_seq| is bounded
-    by ~dim * eps * sum|a_i b_i| / (na*nb) <= 64 * 2^-52 ~ 1.4e-14
-    (Cauchy-Schwarz bounds the normalized abs-sum by 1). Candidates are
-    kept at cosine >= threshold - 1e-9, so no qualifying pair can be
-    filtered out and only a vanishing sliver of near-threshold extras
-    proceeds to phase 2.
+    C = Y @ Y.T in float32 BLAS over PRE-NORMALIZED unit vectors
+    (Y = X / ||X||, rounded to float32 — the inputs are float32-born, so
+    only the normalization division rounds, <= 1 ulp_f32 per entry).
+    Error bound on each estimated cosine: input rounding ~2*2^-24 plus
+    sgemm accumulation <= dim * eps_f32 * sum|y_i z_i| <= 64 * 2^-24
+    ~ 4e-6 (Cauchy-Schwarz bounds the unit-vector abs-sum by 1) — total
+    well under the 1e-3 margin. Candidates are kept at cosine >=
+    threshold - 1e-3, so no qualifying pair can be filtered out and only
+    a thin near-threshold shell proceeds to phase 2. float32 halves the
+    dominant cost (the threshold scan is memory-bandwidth-bound: ~4 TB of
+    Gram traffic at sf100's (4,4) point in float64, ~2 TB in float32) and
+    doubles BLAS throughput.
   phase 2 (exact): surviving candidates get the bit-exact engine value:
     float32 inputs widen to float64, so each product is EXACT (24-bit
     mantissas -> <=48-bit product fits float64); only ADDITION ORDER can
@@ -52,7 +57,7 @@ t0 = time.time()
 sf_dir, dump = sys.argv[1], sys.argv[2]
 BANDS, BITS = int(sys.argv[3]), int(sys.argv[4])
 THRESH = float(sys.argv[5])
-MARGIN = 1e-9
+MARGIN = 1e-3  # >> the ~4e-6 float32 filter bound (docstring)
 MASK = (1 << 64) - 1
 
 
@@ -81,8 +86,10 @@ def seq_sum(prod: np.ndarray) -> np.ndarray:
     return np.cumsum(prod, axis=-1)[..., -1]
 
 
-# exact sequential norms
+# exact sequential norms (float64), and the float32 unit vectors the
+# phase-1 filter runs on
 nrm = np.sqrt(seq_sum(X * X))
+Y32 = (X / nrm[:, None]).astype(np.float32)
 
 # exact band codes: plane (p, d) coefficient = +-1 from splitmix bit 0
 codes = np.zeros((n, BANDS), dtype=np.int64)
@@ -111,13 +118,13 @@ for b in range(BANDS):
         if m < 2:
             continue
         enumerated += m * (m - 1) // 2
-        Xb, nb = X[idx], nrm[idx]
+        Yb = Y32[idx]
+        cut = np.float32(THRESH - MARGIN)
         for cs in range(0, m, CHUNK):
             ce = min(cs + CHUNK, m)
-            G = Xb[cs:ce] @ Xb.T  # BLAS, bounded error (docstring)
-            C = G / (nb[cs:ce, None] * nb[None, :])
+            C = Yb[cs:ce] @ Yb.T  # float32 BLAS, bounded error (docstring)
             # dedup unordered pairs: keep columns strictly after the row
-            ri, ci = np.nonzero(C >= THRESH - MARGIN)
+            ri, ci = np.nonzero(C >= cut)
             keep = ci > (cs + ri)
             cand_a.append(idx[cs + ri[keep]])
             cand_b.append(idx[ci[keep]])
