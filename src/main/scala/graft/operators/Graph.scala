@@ -90,13 +90,28 @@ object Graph {
       // and each pair row emits BOTH its contributions via explode — the
       // pair relation is computed twice total (deg + contrib), not once per
       // direction per consumer as the naive edges-union formulation would.
+      // notNull on the keys (optimization r18): without it, each of the
+      // five consumers of the pairs-distinct exchange inferred a DIFFERENT
+      // isnotnull() set from its own join keys, the subtree copies stopped
+      // canonicalizing equal, and the distinct exchange (and the lineitem
+      // scan under it) materialized once per consumer — 5 scans, 3 of them
+      // full distinct shuffles. Non-nullable keys → identical branches →
+      // one scan + one exchange + ReusedExchange for the rest.
       val pairs = Tables(s, dir, "lineitem")
-        .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sn"))
+        .select(graft.functions.Cleanse.notNull(col("l_partkey") * 2).as("p"),
+          graft.functions.Cleanse.notNull(col("l_suppkey") * 2 + 1).as("sn"))
         .distinct()
       val degP = pairs.groupBy("p").agg(count(lit(1)).as("deg_p"))
       val degS = pairs.groupBy("sn").agg(count(lit(1)).as("deg_s"))
-      val n = degP.agg(count(lit(1)).as("np"))
-        .crossJoin(degS.agg(count(lit(1)).as("ns")))
+      // The deg_p/deg_s references are always-true anchors (count(*) >= 1
+      // by construction): without them column pruning rewrites each node
+      // count into its own single-column distinct straight off the scan —
+      // a THIRD and FOURTH lineitem scan with their own exchanges — where
+      // the anchored form re-reads the degP/degS exchanges already
+      // materialized for the contribution join (ReusedExchange; executed
+      // plan: one lineitem scan total, was five).
+      val n = degP.filter(col("deg_p") >= 1).agg(count(lit(1)).as("np"))
+        .crossJoin(degS.filter(col("deg_s") >= 1).agg(count(lit(1)).as("ns")))
         .select((col("np") + col("ns")).as("n_nodes"))
       val contrib = pairs.join(degP, "p").join(degS, "sn")
         .join(broadcast(n))

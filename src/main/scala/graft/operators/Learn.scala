@@ -169,7 +169,16 @@ object Learn {
       |ORDER BY chi2 DESC, term ASC LIMIT 30""".stripMargin))
 
   /** One row per in-document bigram occurrence (doc_id, lang, a, b) —
-    * the token stream both LM operators consume. */
+    * the token stream both LM operators consume. The bigram columns are
+    * wrapped `notNull` (valid in-range element_at over split tokens can
+    * never be null): without it, the scoring join's inferred
+    * isnotnull(a)/isnotnull(b) constraints push into ITS copy of the
+    * bigram-count subtree while the prefix-count (c1/ones) branch only
+    * infers isnotnull(a) — the two copies of the (a, b) count aggregate
+    * stop canonicalizing equal and the whole tokenize+explode+count
+    * pipeline runs a THIRD time (executed q102/q103 plans: 3 corpus
+    * scans; with non-nullable keys the prefix branch re-reads the count
+    * aggregate's exchange — 2 scans, the two-pass design shape). */
   private def docBigrams(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
     Tables(s, dir, "documents")
@@ -178,8 +187,8 @@ object Learn {
       .select(col("doc_id"), col("lang"),
         explode(sequence(lit(1), size(col("w")) - 1)).as("i"), col("w"))
       .select(col("doc_id"), col("lang"),
-        element_at(col("w"), col("i")).as("a"),
-        element_at(col("w"), col("i") + 1).as("b"))
+        graft.functions.Cleanse.notNull(element_at(col("w"), col("i"))).as("a"),
+        graft.functions.Cleanse.notNull(element_at(col("w"), col("i") + 1)).as("b"))
 
   /** Scale guard for the corpus-LM join (VERDICT r17 finding 1): a bigram
     * LM is vocab²-BOUNDED but corpus-GROWN — at the sweep SFs it is a few

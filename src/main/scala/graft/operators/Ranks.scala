@@ -67,9 +67,20 @@ object Ranks {
     * `limit` here would draw the whole sample from whichever splits
     * answered first — the exact skew the sampler exists to avoid. Any
     * sample yields EXACT ranks; only balance varies. */
+  /** `boundsFrom` (optimization r18): an optional CHEAPER relation to draw
+    * the splitter sample from, with the same key columns as `df`. The
+    * bounds are only lexicographic cut points and the ranks are EXACT for
+    * ANY bound values (see step 1 above), so the sample source may score
+    * its keys approximately — e.g. q84 passes the BM25 scorer over a
+    * hash-thinned doc subset with stats computed on that subset (idf and
+    * avgdl are ratios, so subset stats land in the same value range and
+    * balance holds), which turns the bounds job from one full corpus
+    * tokenize+stats pass into a ~1% pass. Determinism is unchanged: the
+    * sample is still a pure value function of the data. */
   def withGlobalOrder(df: DataFrame, order: Seq[Column], rankName: String,
       running: Seq[(Column, String)] = Nil, sampleMod: Int = 101,
-      sampleOn: Option[Column] = None): DataFrame = {
+      sampleOn: Option[Column] = None,
+      boundsFrom: Option[DataFrame] = None): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     // over-decompose to smooth hash collisions + skew, but cap: bucket count
     // only needs to exceed core count, and the driver-side sample is
@@ -83,7 +94,8 @@ object Ranks {
     val keyCols = split.map(_._1)
     val asc = split.map(_._2)
 
-    val bounds = splitterBounds(df, order, buckets, sampleMod, sampleOn)
+    val bounds = splitterBounds(boundsFrom.getOrElse(df), order, buckets,
+      sampleMod, sampleOn)
     // Bucket id: a native binary-search expression over the sorted bounds
     // (expressions.RangeBucketId). The previous formulation inlined the
     // search as a nested CASE tree of literal comparisons — O(log B) evals

@@ -1090,7 +1090,14 @@ object SimilaritySearch {
         .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("term"))
         .join(assigned, col("doc_id") === col("vec_id"))
       val tf = terms.groupBy(col("cid"), col("term")).agg(count(lit(1)).as("tf"))
-      val cdf = tf.groupBy(col("term")).agg(count(lit(1)).as("cdf"))
+      // `tf >= 1` is an always-true anchor (count(*) ≥ 1): without it the
+      // cluster-df branch's copy of the (cid, term) aggregate prunes the
+      // tf column, stops canonicalizing equal to the join branch's copy,
+      // and the whole tokenize+assign+aggregate pipeline — including the
+      // assignment broadcast build — executes twice. Anchored, the cdf
+      // branch re-reads the same exchange (ReusedExchange; one pass).
+      val cdf = tf.filter(col("tf") >= 1)
+        .groupBy(col("term")).agg(count(lit(1)).as("cdf"))
       val w = Window.partitionBy(col("cid"))
         .orderBy(col("salience").desc, col("term").asc)
       tf.join(cdf, "term")

@@ -42,13 +42,20 @@ object Sketches {
     "q80_count_min",
     (s, dir) => {
       val ev = Tables(s, dir, "events").select(col("user_id"))
-      val cells = ev
-        .select(explode(array((0 until CmsD).map(j =>
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_count"))
+      // cell counts derive from the per-user exact counts (optimization
+      // r18): a cell's value is the number of EVENTS hashing into it =
+      // Σ exact_count over the users in the bucket — identical by
+      // definition. The old form re-scanned events and exploded 4 hash
+      // structs per EVENT; this explodes per USER over the exact
+      // aggregate's exchange (ReusedExchange with the probe branch — one
+      // events scan, was two) and shuffles user-grain partials only.
+      val cells = exact
+        .select(col("exact_count"), explode(array((0 until CmsD).map(j =>
           struct(lit(j).as("row_j"), h(j, col("user_id"), CmsW).as("bucket"))): _*))
           .as("c"))
         .groupBy(col("c.row_j").as("row_j"), col("c.bucket").as("bucket"))
-        .agg(count(lit(1)).as("cell"))
-      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_count"))
+        .agg(sum(col("exact_count")).as("cell"))
       val probes = exact.select(col("user_id"), col("exact_count"),
         explode(array((0 until CmsD).map(j =>
           struct(lit(j).as("row_j"), h(j, col("user_id"), CmsW).as("bucket"))): _*))

@@ -317,7 +317,15 @@ object TextAnalysis {
       val terms = Tables(s, dir, "documents")
         .select(col("doc_id"), explode(words(col("text"))).as("term"))
       val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // `tf >= 1` is an always-true anchor (count(*) ≥ 1): without it
+      // column pruning drops the tf column from the df branch's copy of
+      // the (doc_id, term) aggregate, the two copies stop canonicalizing
+      // equal, and the tokenize+explode+partial-aggregate pipeline (and
+      // its exchange) runs twice — measured as two back-to-back ~0.45 s
+      // single-task corpus jobs. Anchored, the df branch re-reads the
+      // join branch's exchange (ReusedExchange; one corpus pass).
+      val df = tf.filter(col("tf") >= 1)
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df").asc, col("term").asc)
       tf.join(df, "term")

@@ -19,7 +19,40 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Session-scoped memo of the table DataFrames (optimization r18,
+    * guide §6 "file listing"): every `spark.read.parquet(path)` builds a
+    * fresh InMemoryFileIndex (file listing) and re-reads the footer for
+    * schema inference — pure driver-side metadata work repeated by every
+    * query builder for every table reference (measured: q74's six table
+    * reads cost 0.3–0.4 s of build time per bench sample BEFORE any
+    * execution). A catalog deployment resolves a table to one cached
+    * relation; this memo reproduces that posture for the path-scan
+    * harness. It caches ONLY the logical plan + file metadata — execution
+    * still scans parquet every run; results are unaffected (the memoized
+    * plan is what the fresh read would build). Keyed weakly by session so
+    * test suites that churn sessions don't leak, and per (dir, name) so
+    * multi-SF runs in one JVM stay distinct. */
+  private val memo =
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Catalog-stats mode bypasses the memo: the catalog table is already
+    // session-cached by name, and specs flip statsModeOverride inside one
+    // session — a memoized path-scan plan would silently outlive the flip
+    // (caught by PlanAuditSpec's dual-posture audit).
+    if (statsMode) return build(spark, dir, name)
+    val bySession = memo.synchronized {
+      var m = memo.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        memo.put(spark, m)
+      }
+      m
+    }
+    bySession.computeIfAbsent(s"$dir/$name", _ => build(spark, dir, name))
+  }
+
+  private def build(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.parquet has shipped with two physical layouts for `ts`:
       // TIMESTAMP(NANOS) (unsupported by Spark's vectorized reader — read

@@ -170,15 +170,33 @@ object Events {
   val q49HllUnion: Q = Q(
     "q49_hll_union",
     (s, dir) => {
+      // Distinct (event_type, user_id) ONCE, then both the per-type and
+      // the overall branch aggregate it (optimization r18): an HLL sketch
+      // is insert-dedup-invariant (registers are maxes), so sketching the
+      // distinct pairs yields the identical sketch and estimate, the
+      // per-type exact count becomes a plain count (no mixed
+      // distinct+sketch Expand), and the overall exact distinct re-reads
+      // the same distinct exchange instead of re-scanning events
+      // (ReusedExchange; one events scan, was two).
       val ev = Tables(s, dir, "events")
-      val perType = ev.groupBy(col("event_type")).agg(
+      val pairs = ev.select(col("event_type"), col("user_id")).distinct()
+      val perType = pairs.groupBy(col("event_type")).agg(
         hll_sketch_agg(col("user_id")).as("sk"),
-        countDistinct(col("user_id")).as("exact_users"))
+        count(col("user_id")).as("exact_users"))
       val typed = perType.select(col("event_type"), col("exact_users"),
         round(hll_sketch_estimate(col("sk"))).cast("long").as("hll_users"))
+      // Overall exact distinct users as a two-level count over `pairs`
+      // (count rows of the per-user type-count): countDistinct alone is
+      // distinct-insensitive, so the optimizer would collapse the shared
+      // distinct away and re-scan events; the per-user count is NOT
+      // collapsible and the always-true `nt >= 1` anchor keeps it — the
+      // branch re-reads the pairs exchange instead (ReusedExchange).
+      val overallExact = pairs.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("nt")).filter(col("nt") >= 1)
+        .agg(count(lit(1)).as("exact_users"))
       val overall = perType.agg(
           round(hll_sketch_estimate(hll_union_agg(col("sk")))).cast("long").as("hll_users"))
-        .crossJoin(ev.agg(countDistinct(col("user_id")).as("exact_users")))
+        .crossJoin(overallExact)
         .select(lit("__all__").as("event_type"), col("exact_users"), col("hll_users"))
       typed.unionByName(overall)
         .select(col("event_type"), col("exact_users"),
