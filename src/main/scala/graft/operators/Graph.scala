@@ -110,9 +110,13 @@ object Graph {
       // the anchored form re-reads the degP/degS exchanges already
       // materialized for the contribution join (ReusedExchange; executed
       // plan: one lineitem scan total, was five).
-      val n = degP.filter(col("deg_p") >= 1).agg(count(lit(1)).as("np"))
-        .crossJoin(degS.filter(col("deg_s") >= 1).agg(count(lit(1)).as("ns")))
-        .select((col("np") + col("ns")).as("n_nodes"))
+      // np + ns as ONE count over the (disjoint-namespace) union of the
+      // two degree relations — one aggregate stage instead of two
+      // single-partition aggregates plus a cross join (each a separate
+      // AQE round trip on the critical path to the broadcast of n).
+      val n = degP.filter(col("deg_p") >= 1).select(col("p").as("node"))
+        .union(degS.filter(col("deg_s") >= 1).select(col("sn").as("node")))
+        .agg(count(lit(1)).as("n_nodes"))
       val contrib = pairs.join(degP, "p").join(degS, "sn")
         .join(broadcast(n))
         .select(explode(array(

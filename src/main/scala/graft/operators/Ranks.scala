@@ -160,6 +160,15 @@ object Ranks {
     // a non-codegen expression; same all-or-nothing lesson as r8). A
     // plain-attribute key + a tiny non-codegen filter over ≤buckets+1
     // rows keeps both properties.
+    // (Optimization r18 probe, rejected: routing this branch through an
+    // explicit repartition(__pid) + full-width count anchor to share the
+    // window branch's exchange does NOT canonicalize equal — the count
+    // anchor is rewritten to count(1) and CollapseProject folds the key
+    // expressions, so pruning re-narrows this branch; and an anchor
+    // FILTER would be pushed below the exchange, splitting the branches
+    // again. The re-scan design below stays: it shuffles almost nothing
+    // at any scale, and the one expensive re-scan family (q84/q104's
+    // scorer) was instead made cheap at the sampler — see boundsFrom.)
     val totals = withPid.groupBy(col("__pid")).agg(
         count(lit(1)).as("__pcnt"),
         running.map { case (c, n) => sum(c).as(s"__ptot_$n") }: _*)
