@@ -46,8 +46,13 @@ object FuzzVerify {
     s"CAST(ROUND(SUM(CAST($exprSql AS DECIMAL(18,6))), 2) AS DOUBLE)"
 
   /** Two-decimal literal rendering: 0.07 prints as "0.07", never "0.07000…1"
-    * (the draws below only produce exact-hundredth doubles). */
-  private def d2(v: Double): String = f"$v%.2f"
+    * (the draws below only produce exact-hundredth doubles). Locale-pinned:
+    * the `f` interpolator follows the default JVM locale, so under e.g.
+    * -Duser.language=tr it rendered "0,07" INTO the oracle SQL and every
+    * fz00 instance died on a DuckDB parse error (caught by this round's
+    * hostile-locale sweep; the registry itself was green). */
+  private def d2(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
 
   // ---------------------------------------------------------------- t01
   /** Predicate-boundary class (q02 family): date window × quantity cap ×
