@@ -103,23 +103,46 @@ object Learn {
     * < 5 or = N documents are excluded (degenerate margins), and a
     * single-class corpus (n_en = 0 or N, where χ² is 0/0 for every term)
     * yields the empty result instead of NaN rows. Scale shape:
-    * distinct-(doc,term) explode → one term-keyed count aggregate → tiny
-    * broadcast cross with the one-row class totals → top-30
-    * TakeOrderedAndProject. */
+    * distinct-(doc,term) explode (+ one null-term sentinel per doc) → ONE
+    * term-keyed count aggregate, read by both the class-totals branch
+    * (its null-term group) and the per-term branch (shared exchange — the
+    * corpus is tokenized once) → tiny broadcast cross with the one-row
+    * totals → top-30 TakeOrderedAndProject. */
   val q100Chi2Terms: Q = Q(
     "q100_chi2_terms",
     (s, dir) => {
+      // One corpus pass for BOTH the per-term contingency counts and the
+      // class totals: every document emits one SENTINEL row (null term —
+      // a real term is never null: whitespace-split tokens are non-null
+      // strings) alongside its distinct terms, so the null-term group of
+      // the one term-keyed aggregate carries a = n_en, a + b = n_docs.
+      // The sentinel survives null/empty text via the coalesce (null
+      // `words` would null the whole concat), matching the old separate
+      // COUNT(*) scan on corrupt rows. Each branch then selects its rows
+      // with a single CASE predicate over the AGGREGATE OUTPUTS (not a
+      // bare term IS [NOT] NULL conjunct, which PushDownPredicates would
+      // push below the aggregate into that branch's copy — un-sharing the
+      // exchange and re-tokenizing the corpus): both predicates are
+      // non-pushable and always equivalent to the null test (a + b =
+      // group row count ≥ 1 for every group).
       val docs = Tables(s, dir, "documents")
         .select(col("doc_id"),
           when(col("lang") === "en", 1L).otherwise(0L).as("en"),
-          explode(array_distinct(TextAnalysis.words(col("text")))).as("term"))
-      val totals = Tables(s, dir, "documents").agg(
-        count(lit(1)).as("n_docs"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+          explode(concat(
+            array(lit(null).cast("string")),
+            coalesce(array_distinct(TextAnalysis.words(col("text"))),
+              array().cast("array<string>")))).as("term"))
       val counts = docs.groupBy(col("term")).agg(
         sum(col("en")).as("a"),
         sum(lit(1L) - col("en")).as("b"))
-      val c2 = counts.crossJoin(broadcast(totals))
+      val totals = counts
+        .filter(when(col("term").isNull, col("a") + col("b"))
+          .otherwise(lit(-1L)) >= 0L)
+        .select((col("a") + col("b")).as("n_docs"), col("a").as("n_en"))
+      val c2 = counts
+        .filter(when(col("term").isNotNull, col("a") + col("b"))
+          .otherwise(lit(-1L)) >= 1L)
+        .crossJoin(broadcast(totals))
         .filter(col("a") + col("b") >= 5 && col("a") + col("b") < col("n_docs"))
         // degenerate class margins: a single-class corpus (all or no docs
         // 'en') makes (a+c) or (b+d) zero → 0/0 = NaN for EVERY term and the

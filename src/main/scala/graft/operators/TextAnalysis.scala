@@ -934,9 +934,11 @@ object TextAnalysis {
     * collect_list is per-document (bounded by document size, not corpus),
     * made deterministic by array_sort on the block index.
     * Scale shape: block explode (|tokens|/8 rows) → one map-side-combined
-    * (source, block) distinct-doc count → equi-join back on the same key →
-    * per-doc regroup. Nothing wider than a document ever sits in one group;
-    * the frequency relation is bounded by distinct blocks. */
+    * (source, block, doc) occurrence-pack aggregate (read once, reused by
+    * both the distinct-doc count and the join back) → equi-join on
+    * (source, block) → per-doc regroup. Nothing wider than a document ever
+    * sits in one group; the frequency relation is bounded by distinct
+    * blocks, and `bis` arrays by a single document's block count. */
   /** The strip transform behind q108 as a plain DataFrame function
     * (doc_id, source, text) → cleaned docs, so the drop semantics are
     * spec-testable on a fixture with PLANTED boilerplate (the natural
@@ -955,10 +957,25 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"),
         expr("CAST((st - 1) div 8 AS BIGINT)").as("bi"),
         array_join(slice(col("w"), col("st"), lit(8)), " ").as("btxt"))
-    val freq = blocks.groupBy(col("source"), col("btxt"))
-      .agg(countDistinct(col("doc_id")).as("ndocs"))
-    blocks.join(freq, Seq("source", "btxt"))
-      .withColumn("boiler", col("ndocs") >= minDocs)
+    // Re-grain to one row per (source, btxt, doc_id) — `bis` packs that
+    // doc's occurrence indices of the block text (bounded by document
+    // size). countDistinct(doc_id) per block is then a plain row count
+    // over `occ`, and the occurrence stream is restored by exploding
+    // `bis` after the join — so BOTH the frequency aggregate and the
+    // join side consume the same (source, btxt, doc_id) exchange (AQE
+    // reuse) instead of tokenizing the corpus twice. The anchor filter
+    // keeps `bis` from being pruned out of the count-only branch's copy
+    // (always true: every group has ≥1 occurrence), which would stop the
+    // two copies canonicalizing equal.
+    val occ = blocks.groupBy(col("source"), col("btxt"), col("doc_id"))
+      .agg(collect_list(col("bi")).as("bis"))
+      .filter(size(col("bis")) >= 1)
+    val freq = occ.groupBy(col("source"), col("btxt"))
+      .agg(count(lit(1)).as("ndocs"))
+    occ.join(freq, Seq("source", "btxt"))
+      .select(col("doc_id"), col("source"),
+        explode(col("bis")).as("bi"), col("btxt"),
+        (col("ndocs") >= minDocs).as("boiler"))
       .groupBy(col("doc_id"), col("source"))
       .agg(
         count(lit(1)).as("n_blocks"),
