@@ -36,6 +36,33 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   private def r4(d: Double): Double = math.rint(d * 1e4) / 1e4
+  private def r2(d: Double): Double = math.rint(d * 1e2) / 1e2
+
+  /** Driver-visible per-query medians (VERDICT r18 item 2): the driver
+    * parses the contract line out of a ~2000-char stdout TAIL, so the
+    * full 113-query map (~2.6 KB at r4 precision) can never ride on it —
+    * that is exactly the r7/r8 `parsed: null` overflow that made r9 move
+    * per-query detail into the artifact. Compromise: carry the LARGEST
+    * medians, centisecond-rounded, biggest first, stopping when either
+    * the whole line would exceed `lineBudget` bytes or the next median
+    * falls under `minSec` (0.1 s — the driver's own per-query regression
+    * gate is >10% AND >0.1 s, so sub-0.1 s queries cannot regress
+    * reportably). The COMPLETE map stays in the artifact; this restores
+    * driver-side per-query and scaling visibility for every query large
+    * enough to matter without risking the one-line contract. */
+  private[graft] def packQueries(med: Seq[(String, Double)], baseLen: Int,
+      lineBudget: Int = 1800, minSec: Double = 0.1): String = {
+    val sb = new StringBuilder("{")
+    var n = 0
+    for ((name, sec) <- med.sortBy { case (nm, s) => (-s, nm) }
+         if sec >= minSec) {
+      val entry = (if (n == 0) "" else ",") + "\"" + name + "\":" + r2(sec)
+      if (baseLen + sb.length + entry.length + 1 <= lineBudget) {
+        sb.append(entry); n += 1
+      }
+    }
+    sb.append("}").toString
+  }
 
   /** Fixed-workload host-speed control (VERDICT r12 item 3): a pinned
     * synthetic query on generated-in-memory data — range → xxhash64 →
@@ -55,6 +82,27 @@ object Bench {
     * future delta as noise); later same-JVM points need only 1.
     */
   val ControlId = "range30m-xxhash-agg1m-v1"
+
+  /** Convergence-gated warm-up (VERDICT r18 item 9): fixed warm-up counts
+    * were not enough under CPU steal — the driver's r18 run still burned a
+    * 10.0 s cold-JIT FIRST control point (424% spread), wasting the
+    * normalization. Keep running untimed warm-ups until two consecutive
+    * ones agree within 20% (so C2 compilation and the first page-cache
+    * misses are demonstrably over) or `maxWarm` is hit; `minWarm` keeps
+    * the old floor. The workloads themselves are untouched (same
+    * control_id — only untimed warm-up policy changed). */
+  private def warmUntilStable(once: () => Double, minWarm: Int,
+      maxWarm: Int): Unit = {
+    var prev = once()
+    var n = 1
+    var stable = false
+    while (n < minWarm || (!stable && n < maxWarm)) {
+      val cur = once()
+      stable = math.abs(cur - prev) / math.min(cur, prev) <= 0.2
+      prev = cur
+      n += 1
+    }
+  }
   /** Second host-speed control (VERDICT r16 item 1): the CPU-bound control
     * above is cache-resident — it does not feel the page-cache/disk/shuffle
     * contention that actually inflates the suite, so cross-run interference
@@ -82,8 +130,10 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      (1 to warmups).foreach(_ => once())
-      Vector.fill(3)(once()).sorted.apply(1)
+      warmUntilStable(() => once(), warmups, math.max(warmups, 6))
+      val timed = if (warmups > 1) 5 else 3 // first point: median-of-5
+      val s = Vector.fill(timed)(once()).sorted
+      s(s.length / 2)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -213,8 +263,11 @@ object Bench {
           .orderBy(col("sh")).limit(100).count()
         (System.nanoTime() - t0) / 1e9
       }
-      (1 to warmups).foreach(_ => once()) // untimed: codegen/JIT warmup
-      Vector.fill(3)(once()).sorted.apply(1)
+      // untimed codegen/JIT warmup, convergence-gated (r18 item 9)
+      warmUntilStable(() => once(), warmups, math.max(warmups, 8))
+      val timed = if (warmups > 1) 5 else 3 // first point: median-of-5
+      val s = Vector.fill(timed)(once()).sorted
+      s(s.length / 2)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -434,8 +487,9 @@ object Bench {
     val cpts = controlPoints.map(r4).mkString("[", ",", "]")
     val c2pts = control2Points.map(r4).mkString("[", ",", "]")
     val suiteField = suiteFloor.map(s => s""","suite_spread_pct":$s""").getOrElse("")
-    val line =
+    def lineWith(queriesField: String): String =
       s"""{"metric":"total","value":$total,"unit":"sec","families":$fams,""" +
+      queriesField +
       s""""control":$control,"control_id":"$ControlId",""" +
       s""""control_points":$cpts,"control_spread_pct":$spreadPct,""" +
       s""""control2":$control2,"control2_id":"$Control2Id",""" +
@@ -444,6 +498,8 @@ object Bench {
       s"""$suiteField$prevDelta$moversFields,""" +
       s""""cold_total":$coldTotal,"cold_hot":$coldHot,""" +
       s""""sf":"$sfDir","passes":$passes,"stat":"median","artifact":"$outPath"}"""
+    val line = lineWith(
+      "\"queries\":" + packQueries(med.toSeq, lineWith("").length + 11) + ",")
     // Full artifact — all samples per query, so a contaminated pass is
     // visible in the record instead of needing an out-of-band re-run.
     val detail = samples.map { case (n, v) =>
