@@ -36,6 +36,21 @@ object SparkPosture {
   private val settings: Seq[(String, String)] = Seq(
     "spark.io.compression.codec" -> "zstd",
     "spark.shuffle.file.buffer" -> "1m",
+    // Janino compile cache sized to the workload (r19, measured with
+    // tools/CodegenCensus at sf0.1): one full registry pass compiles ~870
+    // distinct generated classes (WholeStageCodegen units + unsafe
+    // projections/orderings/predicates, mean ~12-16 ms each), so Spark's
+    // default 100-entry LRU thrashes completely — EVERY warm pass
+    // recompiled ~975 sources (~12 s/pass of pure Janino on the driver,
+    // the wall-vs-jobsum gap between AQE stages). At 4096 the second pass
+    // compiles ~10 and the third 0; suite pass wall fell 42 s -> 26 s and
+    // the full bench warm total ~52.6 s -> ~32.5 s (same box window, both
+    // via tools/run.sh) with zero per-query regressions. Not a local-only
+    // tweak: the cache is per-JVM (driver and executors alike), so any
+    // long-lived production process running this registry repeatedly pays
+    // the same recompile tax; memory is bounded by ~870 live entries of
+    // tens-of-KB sources+classes (low hundreds of MB worst case).
+    "spark.sql.codegen.cache.maxEntries" -> "4096",
     // Bypass-writer memory is tasks × reducers × file.buffer and sits
     // OUTSIDE the memory manager — it can never spill. At the default
     // threshold (200) a 200-partition shuffle × 32 concurrent tasks × the
